@@ -1,0 +1,168 @@
+"""Relative-position transformer encoder (the VITS text encoder core).
+
+Re-derivation of the windowed relative-position attention used by the
+reference (rvc/lib/algorithm/attentions.py:6-186, window_size=10) in NTC
+layout. The rel->abs index shuffle is the standard Music-Transformer skew
+trick expressed with static pads/reshapes, which XLA compiles to pure
+layout ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .commons import Conv1d, leaky_relu
+
+
+def _rel_to_abs(x: jax.Array) -> jax.Array:
+    """[B, H, L, 2L-1] relative logits -> [B, H, L, L] absolute logits."""
+    b, h, l, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))          # [B,H,L,2L]
+    x = x.reshape(b, h, l * 2 * l)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, l - 1)))
+    x = x.reshape(b, h, l + 1, 2 * l - 1)
+    return x[:, :, :l, l - 1 :]
+
+
+def _abs_to_rel(x: jax.Array) -> jax.Array:
+    """[B, H, L, L] attention weights -> [B, H, L, 2L-1] relative weights."""
+    b, h, l, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, l - 1)))
+    x = x.reshape(b, h, l * l + l * (l - 1))
+    x = jnp.pad(x, ((0, 0), (0, 0), (l, 0)))
+    x = x.reshape(b, h, l, 2 * l)
+    return x[:, :, :, 1:]
+
+
+def _window_rel_embeddings(emb: jax.Array, length: int, window: int) -> jax.Array:
+    """Slice/pad the [n, 2w+1, d] table to [n, 2L-1, d] for sequence length L."""
+    pad = max(length - (window + 1), 0)
+    start = max((window + 1) - length, 0)
+    if pad > 0:
+        emb = jnp.pad(emb, ((0, 0), (pad, pad), (0, 0)))
+    return emb[:, start : start + 2 * length - 1]
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with learned windowed relative-position embeddings."""
+
+    channels: int
+    out_channels: int
+    n_heads: int
+    window_size: Optional[int] = 10
+    heads_share: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, c: jax.Array, attn_mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        b, t, _ = x.shape
+        h = self.n_heads
+        d = self.channels // h
+
+        q = Conv1d(self.channels, 1, name="conv_q")(x)
+        k = Conv1d(self.channels, 1, name="conv_k")(c)
+        v = Conv1d(self.channels, 1, name="conv_v")(c)
+
+        # [B, T, C] -> [B, H, T, d]
+        def split_heads(a):
+            return a.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        scale = d**-0.5
+        scores = jnp.einsum(
+            "bhtd,bhsd->bhts", q * scale, k, preferred_element_type=jnp.float32
+        )
+
+        if self.window_size is not None:
+            n_rel = 1 if self.heads_share else h
+            rel_init = nn.initializers.normal(stddev=d**-0.5)
+            emb_rel_k = self.param(
+                "emb_rel_k", rel_init, (n_rel, 2 * self.window_size + 1, d)
+            )
+            emb_rel_v = self.param(
+                "emb_rel_v", rel_init, (n_rel, 2 * self.window_size + 1, d)
+            )
+            rel_k = _window_rel_embeddings(emb_rel_k, t, self.window_size)
+            rel_logits = jnp.einsum("bhtd,nrd->bhtr", q * scale, rel_k)
+            scores = scores + _rel_to_abs(rel_logits)
+
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask == 0, -1e4, scores)
+
+        p_attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
+
+        if self.window_size is not None:
+            rel_w = _abs_to_rel(p_attn)
+            rel_v = _window_rel_embeddings(emb_rel_v, t, self.window_size)
+            out = out + jnp.einsum("bhtr,nrd->bhtd", rel_w, rel_v)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.channels)
+        return Conv1d(self.out_channels, 1, name="conv_o")(out)
+
+
+class FFN(nn.Module):
+    """Conv feed-forward block (reference attentions.py:188-243)."""
+
+    out_channels: int
+    filter_channels: int
+    kernel_size: int
+    activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_mask: jax.Array) -> jax.Array:
+        y = Conv1d(self.filter_channels, self.kernel_size, name="conv_1")(x * x_mask)
+        if self.activation == "gelu":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = jnp.maximum(y, 0.0)
+        y = Conv1d(self.out_channels, self.kernel_size, name="conv_2")(y * x_mask)
+        return y * x_mask
+
+
+class LayerNorm(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.LayerNorm(epsilon=1e-5)(x)
+
+
+class Encoder(nn.Module):
+    """Stack of (rel-pos attention + conv FFN) with post-layernorm."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    window_size: int = 10
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_mask: jax.Array) -> jax.Array:
+        # key-side mask [B, 1, 1, T]; output re-masked each block
+        attn_mask = x_mask[:, None, None, :, 0] if x_mask.ndim == 3 else x_mask[:, None, None, :]
+        mask3 = x_mask if x_mask.ndim == 3 else x_mask[..., None]
+        x = x * mask3
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                self.hidden_channels,
+                self.hidden_channels,
+                self.n_heads,
+                window_size=self.window_size,
+                name=f"attn_{i}",
+            )(x, x, attn_mask)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
+            y = FFN(
+                self.hidden_channels,
+                self.filter_channels,
+                self.kernel_size,
+                name=f"ffn_{i}",
+            )(x, mask3)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
+        return x * mask3

@@ -1,0 +1,287 @@
+"""Shared model building blocks.
+
+Layout convention: activations are [batch, time, channels] (NTC) so the
+channel axis maps onto TPU lanes and 1x1 convs become MXU matmuls.
+
+Behavioral parity notes reference the upstream torch implementation
+(rvc/lib/algorithm/commons.py, modules.py) but the code below is an
+independent JAX design: segment slicing is vmapped lax.dynamic_slice instead
+of a per-sample python loop (reference commons.py:60-103), and weight
+normalization is an explicit reparameterization rather than a forward hook.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+def leaky_relu(x: jax.Array, slope: float = LRELU_SLOPE) -> jax.Array:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def sequence_mask(lengths: jax.Array, max_length: int) -> jax.Array:
+    """[B] lengths -> [B, T] float mask (1 inside the sequence)."""
+    pos = jnp.arange(max_length, dtype=lengths.dtype)[None, :]
+    return (pos < lengths[:, None]).astype(jnp.float32)
+
+
+def slice_segments(x: jax.Array, ids_str: jax.Array, segment_size: int) -> jax.Array:
+    """Gather fixed-size time slices per batch element.
+
+    x: [B, T, ...]; ids_str: [B] start frames. Static segment_size keeps the
+    op jit-compatible (replaces reference commons.py:60-85 python loop).
+    """
+
+    def _one(xi, start):
+        start = jnp.clip(start, 0, xi.shape[0] - segment_size)
+        sizes = (segment_size,) + xi.shape[1:]
+        starts = (start,) + (0,) * (xi.ndim - 1)
+        return jax.lax.dynamic_slice(xi, starts, sizes)
+
+    return jax.vmap(_one)(x, ids_str)
+
+
+def rand_slice_segments(
+    rng: jax.Array, x: jax.Array, x_lengths: jax.Array, segment_size: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Random per-sample slice starts (reference commons.py:88-103)."""
+    b = x.shape[0]
+    ids_str_max = jnp.maximum(x_lengths - segment_size + 1, 1).astype(jnp.float32)
+    u = jax.random.uniform(rng, (b,))
+    ids_str = (u * ids_str_max).astype(jnp.int32)
+    return slice_segments(x, ids_str, segment_size), ids_str
+
+
+def fused_gate(x: jax.Array, hidden: int) -> jax.Array:
+    """tanh(x[..., :H]) * sigmoid(x[..., H:]) — the WaveNet gate.
+
+    XLA fuses this into the producing conv; no hand-written kernel needed
+    (reference jit-scripts it manually, commons.py:142-157).
+    """
+    t = jnp.tanh(x[..., :hidden])
+    s = jax.nn.sigmoid(x[..., hidden:])
+    return t * s
+
+
+def _normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class Conv1d(nn.Module):
+    """1D convolution on [B, T, C] with optional weight normalization.
+
+    kernel param shape: (K, in_ch // groups, out_ch). With weight_norm=True a
+    per-output-channel scale `g` is learned and the kernel is normalized over
+    (K, in) — matching torch's weight_norm(dim=0) on [out, in, K] weights so
+    checkpoints can be converted losslessly.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: Optional[int] = None  # None -> "same"-style (k*d - d) // 2
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init_std: Optional[float] = None  # None -> lecun_normal
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel_shape = (k, in_ch // self.groups, self.features)
+        if self.kernel_init_std is not None:
+            kinit = _normal_init(self.kernel_init_std)
+        else:
+            kinit = nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2)
+        kernel = self.param("kernel", kinit, kernel_shape)
+        if self.use_weight_norm:
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.linalg.norm(
+                    kernel.reshape(-1, self.features), axis=0
+                ),
+                (self.features,),
+            )
+            norm = jnp.sqrt(
+                jnp.sum(jnp.square(kernel), axis=(0, 1), keepdims=True) + 1e-12
+            )
+            kernel = kernel / norm * g[None, None, :]
+
+        pad = self.padding
+        if pad is None:
+            pad = (k * self.dilation - self.dilation) // 2
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=((pad, pad),),
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1D convolution matching torch ConvTranspose1d semantics.
+
+    out_len = (in - 1) * stride - 2 * padding + kernel_size + output_padding.
+    kernel param shape: (K, in_ch, out_ch). Weight norm normalizes over
+    (K, out) per input channel — torch weight_norm(dim=0) on [in, out, K].
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init_std: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel_shape = (k, in_ch, self.features)
+        if self.kernel_init_std is not None:
+            kinit = _normal_init(self.kernel_init_std)
+        else:
+            kinit = nn.initializers.lecun_normal(in_axis=(0, 2), out_axis=1)
+        kernel = self.param("kernel", kinit, kernel_shape)
+        if self.use_weight_norm:
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.sqrt(
+                    jnp.sum(jnp.square(kernel), axis=(0, 2)) + 1e-12
+                ),
+                (in_ch,),
+            )
+            norm = jnp.sqrt(
+                jnp.sum(jnp.square(kernel), axis=(0, 2), keepdims=True) + 1e-12
+            )
+            kernel = kernel / norm * g[None, :, None]
+
+        # Transposed conv == input-dilated conv with a spatially flipped kernel.
+        pad_l = k - 1 - self.padding
+        pad_r = k - 1 - self.padding + self.output_padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=0),
+            window_strides=(1,),
+            padding=((pad_l, pad_r),),
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class WaveNet(nn.Module):
+    """Non-causal WaveNet stack with gated activations and global conditioning.
+
+    Mirrors reference rvc/lib/algorithm/modules.py:5-109: per layer a dilated
+    conv to 2H channels, fused tanh/sigmoid gate (+ per-layer slice of the
+    conditioning projection), then a 1x1 producing residual+skip. All convs
+    weight-normalized.
+    """
+
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    n_layers: int
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, x_mask: jax.Array, g: Optional[jax.Array] = None
+    ) -> jax.Array:
+        h = self.hidden_channels
+        output = jnp.zeros_like(x)
+
+        if g is not None and self.gin_channels:
+            # One fused 1x1 projection for all layers (2H * n_layers).
+            g_all = Conv1d(
+                2 * h * self.n_layers, 1, use_weight_norm=True, name="cond_layer"
+            )(g)
+
+        for i in range(self.n_layers):
+            dilation = self.dilation_rate**i
+            x_in = Conv1d(
+                2 * h,
+                self.kernel_size,
+                dilation=dilation,
+                use_weight_norm=True,
+                name=f"in_{i}",
+            )(x)
+            if g is not None and self.gin_channels:
+                x_in = x_in + g_all[..., i * 2 * h : (i + 1) * 2 * h]
+            acts = fused_gate(x_in, h)
+            out_ch = h if i == self.n_layers - 1 else 2 * h
+            res_skip = Conv1d(out_ch, 1, use_weight_norm=True, name=f"res_skip_{i}")(
+                acts
+            )
+            if i < self.n_layers - 1:
+                x = (x + res_skip[..., :h]) * x_mask
+                output = output + res_skip[..., h:]
+            else:
+                output = output + res_skip
+        return output * x_mask
+
+
+class ResBlock(nn.Module):
+    """HiFi-GAN multi-dilation residual block (reference residuals.py:34-90)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, d in enumerate(self.dilations):
+            residual = x
+            y = leaky_relu(x)
+            y = Conv1d(
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                use_weight_norm=True,
+                kernel_init_std=0.01,
+                name=f"conv1_{i}",
+            )(y)
+            y = leaky_relu(y)
+            y = Conv1d(
+                self.channels,
+                self.kernel_size,
+                dilation=1,
+                use_weight_norm=True,
+                kernel_init_std=0.01,
+                name=f"conv2_{i}",
+            )(y)
+            x = y + residual
+        return x
+
+
+def kl_divergence(
+    m_p: jax.Array, logs_p: jax.Array, m_q: jax.Array, logs_q: jax.Array
+) -> jax.Array:
+    """KL(p || q) per element for diagonal gaussians (commons.py:43-57)."""
+    kl = (logs_q - logs_p) - 0.5
+    kl += 0.5 * (jnp.exp(2.0 * logs_p) + (m_p - m_q) ** 2) * jnp.exp(-2.0 * logs_q)
+    return kl

@@ -1,0 +1,140 @@
+"""Multi-period + multi-scale GAN discriminator ensemble.
+
+Parity target: rvc/lib/algorithm/discriminators.py:9-148 — one DiscriminatorS
+plus DiscriminatorP over periods (2, 3, 5, 7, 11, 17, 23, 37), each returning
+per-layer feature maps for the feature-matching loss.
+
+TPU notes: period reshaping is a free layout op; the grouped 1D convs in
+DiscriminatorS use feature_group_count, which XLA maps onto the MXU as
+block-diagonal matmuls. Waveform inputs are [B, T, 1].
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .commons import Conv1d, leaky_relu
+
+PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized 2D conv on [B, H, W, C] (torch dim-0 norm parity)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
+            (kh, kw, in_ch, self.features),
+        )
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(jnp.square(kernel), axis=(0, 1, 2)) + 1e-12
+            ),
+            (self.features,),
+        )
+        norm = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=(0, 1, 2), keepdims=True) + 1e-12)
+        kernel = kernel / norm * g
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.strides,
+            padding=(
+                (self.padding[0], self.padding[0]),
+                (self.padding[1], self.padding[1]),
+            ),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
+class DiscriminatorS(nn.Module):
+    """Raw-waveform discriminator with grouped strided convs."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        specs = [
+            # (features, kernel, stride, groups, padding)
+            (16, 15, 1, 1, 7),
+            (64, 41, 4, 4, 20),
+            (256, 41, 4, 16, 20),
+            (1024, 41, 4, 64, 20),
+            (1024, 41, 4, 256, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        fmap = []
+        for i, (f, k, s, gr, p) in enumerate(specs):
+            x = Conv1d(
+                f, k, stride=s, groups=gr, padding=p,
+                use_weight_norm=True, name=f"conv_{i}",
+            )(x)
+            x = leaky_relu(x)
+            fmap.append(x)
+        x = Conv1d(1, 3, padding=1, use_weight_norm=True, name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(x.shape[0], -1), fmap
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator: fold time by `period`, 2D convs over (T/p, p)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        b, t, c = x.shape
+        p = self.period
+        if t % p != 0:
+            n_pad = p - (t % p)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // p, p, c)
+
+        pad = (self.kernel_size - 1) // 2
+        fmap = []
+        for i, f in enumerate((32, 128, 512, 1024, 1024)):
+            x = WNConv2d(
+                f, (self.kernel_size, 1), strides=(self.stride, 1),
+                padding=(pad, 0), name=f"conv_{i}",
+            )(x)
+            x = leaky_relu(x)
+            fmap.append(x)
+        x = WNConv2d(1, (3, 1), strides=(1, 1), padding=(1, 0), name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = PERIODS
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        """y, y_hat: [B, T, 1]. Returns (real_logits, fake_logits, fmaps_r, fmaps_g)."""
+        discs = [DiscriminatorS(name="disc_s")] + [
+            DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
+        ]
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for d in discs:
+            out_r, fmap_r = d(y)
+            out_g, fmap_g = d(y_hat)
+            y_d_rs.append(out_r)
+            y_d_gs.append(out_g)
+            fmap_rs.append(fmap_r)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -1,0 +1,204 @@
+"""The VITS-style voice-conversion synthesizer.
+
+Parity target: rvc/lib/algorithm/synthesizers.py:12-260.
+  - training forward: posterior z from the real spectrogram, flow z -> z_p,
+    random latent slice decoded by the NSF vocoder;
+  - inference: prior sample z_p = m_p + exp(logs_p) * eps * 0.66666, inverse
+    flow, decode.
+
+All randomness comes from the flax "noise" rng collection (posterior
+sampling, prior sampling, sine-source noise), so runs are reproducible and
+a zero-noise debug mode is possible by rng substitution at the call site.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .commons import rand_slice_segments, slice_segments
+from .encoders import PosteriorEncoder, TextEncoder
+from .flows import ResidualCouplingBlock
+from .generators.hifigan import HiFiGANGenerator
+from .generators.nsf import HiFiGANNSFGenerator
+
+
+class Synthesizer(nn.Module):
+    spec_channels: int
+    segment_size: int  # in latent frames (train segment / hop_length)
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (12, 10, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (24, 20, 4, 4)
+    spk_embed_dim: int = 109
+    gin_channels: int = 256
+    sr: int = 48000
+    use_f0: bool = True
+    text_enc_hidden_dim: int = 768
+    vocoder: str = "HiFi-GAN"
+    randomized: bool = True
+
+    def setup(self):
+        self.enc_p = TextEncoder(
+            self.inter_channels,
+            self.hidden_channels,
+            self.filter_channels,
+            self.n_heads,
+            self.n_layers,
+            self.kernel_size,
+            self.text_enc_hidden_dim,
+            use_f0=self.use_f0,
+        )
+        self.enc_q = PosteriorEncoder(
+            self.inter_channels,
+            self.hidden_channels,
+            kernel_size=5,
+            dilation_rate=1,
+            n_layers=16,
+            gin_channels=self.gin_channels,
+        )
+        self.flow = ResidualCouplingBlock(
+            self.inter_channels,
+            self.hidden_channels,
+            kernel_size=5,
+            dilation_rate=1,
+            n_layers=3,
+            gin_channels=self.gin_channels,
+        )
+        self.emb_g = nn.Embed(self.spk_embed_dim, self.gin_channels)
+
+        if self.use_f0:
+            if self.vocoder == "MRF HiFi-GAN":
+                from .generators.mrf import HiFiGANMRFGenerator
+
+                self.dec = HiFiGANMRFGenerator(
+                    in_channel=self.inter_channels,
+                    upsample_initial_channel=self.upsample_initial_channel,
+                    upsample_rates=self.upsample_rates,
+                    upsample_kernel_sizes=self.upsample_kernel_sizes,
+                    resblock_kernel_sizes=self.resblock_kernel_sizes,
+                    resblock_dilations=self.resblock_dilation_sizes,
+                    gin_channels=self.gin_channels,
+                    sample_rate=self.sr,
+                    harmonic_num=8,
+                )
+            elif self.vocoder == "RefineGAN":
+                from .generators.refinegan import RefineGANGenerator
+
+                self.dec = RefineGANGenerator(
+                    sample_rate=self.sr,
+                    downsample_rates=tuple(self.upsample_rates[::-1]),
+                    upsample_rates=tuple(self.upsample_rates),
+                    start_channels=16,
+                    num_mels=self.inter_channels,
+                )
+            else:
+                self.dec = HiFiGANNSFGenerator(
+                    self.inter_channels,
+                    self.resblock_kernel_sizes,
+                    self.resblock_dilation_sizes,
+                    self.upsample_rates,
+                    self.upsample_initial_channel,
+                    self.upsample_kernel_sizes,
+                    gin_channels=self.gin_channels,
+                    sr=self.sr,
+                )
+        else:
+            if self.vocoder != "HiFi-GAN":
+                raise ValueError(f"{self.vocoder} requires pitch guidance (use_f0)")
+            self.dec = HiFiGANGenerator(
+                self.inter_channels,
+                self.resblock_kernel_sizes,
+                self.resblock_dilation_sizes,
+                self.upsample_rates,
+                self.upsample_initial_channel,
+                self.upsample_kernel_sizes,
+                gin_channels=self.gin_channels,
+            )
+
+    def __call__(
+        self,
+        phone: jax.Array,                   # [B, T, text_enc_hidden_dim]
+        phone_lengths: jax.Array,           # [B]
+        pitch: Optional[jax.Array],         # [B, T] coarse (int) or None
+        pitchf: Optional[jax.Array],        # [B, T] float f0 at frame rate
+        y: jax.Array,                       # [B, T_spec, spec_channels]
+        y_lengths: jax.Array,               # [B]
+        ds: jax.Array,                      # [B] speaker ids
+    ):
+        """Training forward: returns (o, ids_slice, x_mask, y_mask, vae_tuple)."""
+        g = self.emb_g(ds)[:, None, :]  # [B, 1, gin]
+        m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
+        z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g)
+        z_p = self.flow(z, y_mask, g=g)
+
+        if self.randomized:
+            rng = self.make_rng("noise")
+            z_slice, ids_slice = rand_slice_segments(
+                rng, z, y_lengths, self.segment_size
+            )
+            if self.use_f0:
+                pitchf_slice = slice_segments(pitchf, ids_slice, self.segment_size)
+                o = self.dec(z_slice, pitchf_slice, g=g)
+            else:
+                o = self.dec(z_slice, g=g)
+            return o, ids_slice, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q)
+        else:
+            o = self.dec(z, pitchf, g=g) if self.use_f0 else self.dec(z, g=g)
+            return o, None, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q)
+
+    def infer(
+        self,
+        phone: jax.Array,
+        phone_lengths: jax.Array,
+        pitch: Optional[jax.Array],
+        nsff0: Optional[jax.Array],
+        sid: jax.Array,
+        temperature: float = 0.66666,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Inference: prior sample -> inverse flow -> decode. Returns (o, x_mask)."""
+        g = self.emb_g(sid)[:, None, :]
+        m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
+        eps = jax.random.normal(self.make_rng("noise"), m_p.shape, m_p.dtype)
+        z_p = (m_p + jnp.exp(logs_p) * eps * temperature) * x_mask
+        z = self.flow(z_p, x_mask, g=g, reverse=True)
+        if self.use_f0:
+            o = self.dec(z * x_mask, nsff0, g=g)
+        else:
+            o = self.dec(z * x_mask, g=g)
+        return o, x_mask
+
+    @staticmethod
+    def from_config(cfg, train: bool = True) -> "Synthesizer":
+        """Build from an ExperimentConfig (rvc_tpu.configs)."""
+        return Synthesizer(
+            spec_channels=cfg.data.spec_channels,
+            segment_size=cfg.train.segment_size // cfg.data.hop_length,
+            inter_channels=cfg.model.inter_channels,
+            hidden_channels=cfg.model.hidden_channels,
+            filter_channels=cfg.model.filter_channels,
+            n_heads=cfg.model.n_heads,
+            n_layers=cfg.model.n_layers,
+            kernel_size=cfg.model.kernel_size,
+            resblock_kernel_sizes=cfg.model.resblock_kernel_sizes,
+            resblock_dilation_sizes=cfg.model.resblock_dilation_sizes,
+            upsample_rates=cfg.model.upsample_rates,
+            upsample_initial_channel=cfg.model.upsample_initial_channel,
+            upsample_kernel_sizes=cfg.model.upsample_kernel_sizes,
+            spk_embed_dim=cfg.model.spk_embed_dim,
+            gin_channels=cfg.model.gin_channels,
+            sr=cfg.data.sample_rate,
+            use_f0=cfg.model.use_f0,
+            text_enc_hidden_dim=cfg.model.text_enc_hidden_dim,
+            vocoder=cfg.model.vocoder,
+        )

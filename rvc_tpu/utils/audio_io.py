@@ -1,0 +1,87 @@
+"""Host-side audio I/O.
+
+The reference reads audio with libsndfile + soxr (reference:
+rvc/lib/utils.py:37-50). Neither wheel is available here, so WAV I/O is
+implemented over scipy.io.wavfile (PCM16/24/32 + float32) and resampling is a
+kaiser-windowed polyphase filter (scipy.signal.resample_poly on the host;
+rvc_tpu.ops.resample for the on-device path).
+"""
+
+from __future__ import annotations
+
+import os
+from fractions import Fraction
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 samples in [-1, 1] shaped [T] or [T, C], sr)."""
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    return data, int(sr)
+
+
+def write_wav(path: str, data: np.ndarray, sr: int, subtype: str = "PCM_16") -> None:
+    """Write float32 [-1, 1] samples as WAV (PCM_16, PCM_32, or FLOAT)."""
+    data = np.asarray(data)
+    if data.ndim > 1 and data.shape[0] < data.shape[-1] and data.ndim == 2:
+        # accept [C, T] and transpose to [T, C]
+        if data.shape[0] <= 8:
+            data = data.T
+    if subtype == "PCM_16":
+        out = np.clip(data, -1.0, 1.0)
+        out = (out * 32767.0).astype(np.int16)
+    elif subtype == "PCM_32":
+        out = np.clip(data, -1.0, 1.0)
+        out = (out * 2147483647.0).astype(np.int32)
+    elif subtype == "FLOAT":
+        out = data.astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV subtype {subtype!r}")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    wavfile.write(path, sr, out)
+
+
+def to_mono(data: np.ndarray) -> np.ndarray:
+    if data.ndim == 2:
+        return data.mean(axis=-1)
+    return data
+
+
+def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """High-quality polyphase resampling (host-side soxr equivalent)."""
+    if orig_sr == target_sr:
+        return data.astype(np.float32)
+    ratio = Fraction(target_sr, orig_sr)
+    out = resample_poly(data, ratio.numerator, ratio.denominator, axis=0)
+    return out.astype(np.float32)
+
+
+def load_audio(path: str, target_sr: int | None = None) -> np.ndarray:
+    """Load audio as mono float32, optionally resampled.
+
+    Mirrors reference load_audio behavior (rvc/lib/utils.py:37-50):
+    read -> flatten to mono -> resample to the requested rate.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"audio file not found: {path}")
+    data, sr = read_wav(path)
+    data = to_mono(data)
+    if target_sr is not None and sr != target_sr:
+        data = resample(data, sr, target_sr)
+    return data.astype(np.float32)
+
+
+def save_audio(path: str, data: np.ndarray, sr: int, fmt: str | None = None) -> None:
+    """Save mono/stereo audio; format inferred from extension (WAV only here)."""
+    write_wav(path, data, sr)

@@ -1,0 +1,134 @@
+"""Conv/slicing building blocks vs. torch oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from rvc_tpu.models.commons import (
+    Conv1d,
+    ConvTranspose1d,
+    rand_slice_segments,
+    sequence_mask,
+    slice_segments,
+)
+
+
+def _run_conv1d(x, kernel, bias, **kw):
+    mod = Conv1d(features=kernel.shape[2], kernel_size=kernel.shape[0], **kw)
+    params = {"params": {"kernel": jnp.asarray(kernel)}}
+    if bias is not None:
+        params["params"]["bias"] = jnp.asarray(bias)
+    return np.asarray(mod.apply(params, jnp.asarray(x)))
+
+
+def test_conv1d_matches_torch():
+    rng = np.random.default_rng(0)
+    b, t, cin, cout, k, d = 2, 50, 6, 8, 5, 3
+    x = rng.standard_normal((b, t, cin)).astype(np.float32)
+    w = rng.standard_normal((k, cin, cout)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+
+    ours = _run_conv1d(x, w, bias, dilation=d)
+
+    conv = torch.nn.Conv1d(cin, cout, k, dilation=d, padding=(k * d - d) // 2)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w.transpose(2, 1, 0)))
+        conv.bias.copy_(torch.from_numpy(bias))
+        ref = conv(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_conv1d_grouped_matches_torch():
+    rng = np.random.default_rng(1)
+    b, t, cin, cout, k, g = 2, 40, 16, 64, 41, 4
+    x = rng.standard_normal((b, t, cin)).astype(np.float32)
+    w = rng.standard_normal((k, cin // g, cout)).astype(np.float32) * 0.1
+
+    ours = _run_conv1d(x, w, None, groups=g, stride=4, padding=20, use_bias=False)
+
+    conv = torch.nn.Conv1d(cin, cout, k, stride=4, padding=20, groups=g, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w.transpose(2, 1, 0)))
+        ref = conv(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose1d_matches_torch_even_and_odd_rates():
+    rng = np.random.default_rng(2)
+    # (stride, kernel, torch padding, output_padding) — includes NSF odd-rate rule
+    cases = [
+        (10, 20, (20 - 10) // 2, 0),     # even rate
+        (12, 24, (24 - 12) // 2, 0),     # even rate (48k first stage)
+        (5, 10, 5 // 2 + 1, 1),          # odd rate: pad u//2 + u%2, out_pad u%2
+        (3, 7, 3 // 2 + 1, 1),
+    ]
+    for u, k, p, op in cases:
+        b, t, cin, cout = 2, 16, 8, 4
+        x = rng.standard_normal((b, t, cin)).astype(np.float32)
+        w = rng.standard_normal((k, cin, cout)).astype(np.float32) * 0.1
+
+        mod = ConvTranspose1d(
+            features=cout, kernel_size=k, stride=u, padding=p,
+            output_padding=op, use_bias=False,
+        )
+        ours = np.asarray(
+            mod.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
+        )
+
+        conv = torch.nn.ConvTranspose1d(
+            cin, cout, k, stride=u, padding=p, output_padding=op, bias=False
+        )
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(w.transpose(1, 2, 0)))
+            ref = conv(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+        assert ours.shape == ref.transpose(0, 2, 1).shape, f"stride={u}"
+        np.testing.assert_allclose(
+            ours, ref.transpose(0, 2, 1), rtol=1e-4, atol=1e-5, err_msg=f"stride={u}"
+        )
+
+
+def test_weight_norm_conv_init_is_identity():
+    """At init, weight-normalized conv == plain conv (g captures the norm)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 20, 4)).astype(np.float32)
+    mod_wn = Conv1d(features=6, kernel_size=3, use_weight_norm=True)
+    variables = mod_wn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out_wn = mod_wn.apply(variables, jnp.asarray(x))
+
+    mod_plain = Conv1d(features=6, kernel_size=3)
+    plain_params = {
+        "params": {
+            "kernel": variables["params"]["kernel"],
+            "bias": variables["params"]["bias"],
+        }
+    }
+    out_plain = mod_plain.apply(plain_params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_wn), np.asarray(out_plain), rtol=1e-5, atol=1e-6)
+
+
+def test_sequence_mask():
+    m = np.asarray(sequence_mask(jnp.array([2, 5]), 5))
+    assert m.shape == (2, 5)
+    np.testing.assert_array_equal(m[0], [1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(m[1], [1, 1, 1, 1, 1])
+
+
+def test_slice_segments():
+    x = jnp.arange(2 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 3)
+    out = np.asarray(slice_segments(x, jnp.array([2, 5]), 4))
+    np.testing.assert_allclose(out[0], np.asarray(x)[0, 2:6])
+    np.testing.assert_allclose(out[1], np.asarray(x)[1, 5:9])
+    # 2D case (pitch)
+    p = jnp.arange(20, dtype=jnp.float32).reshape(2, 10)
+    out2 = np.asarray(slice_segments(p, jnp.array([1, 3]), 4))
+    np.testing.assert_allclose(out2[0], np.asarray(p)[0, 1:5])
+
+
+def test_rand_slice_in_bounds():
+    x = jnp.zeros((4, 50, 2))
+    lengths = jnp.array([50, 30, 20, 10])
+    _, ids = rand_slice_segments(jax.random.PRNGKey(0), x, lengths, 10)
+    ids = np.asarray(ids)
+    assert np.all(ids >= 0)
+    assert np.all(ids + 10 <= np.asarray(lengths))
