@@ -1,0 +1,387 @@
+"""The voice-conversion inference pipeline.
+
+Parity target: rvc/infer/pipeline.py (Pipeline): 48 Hz high-pass, long-audio
+windowing at quietest points (t_center/t_query/t_max), F0 estimation with
+autotune + external-f0 splice + coarse 255-bin mel quantization, per-segment
+conversion (HuBERT feats -> retrieval blend -> x2 upsample -> protect blend ->
+net_g.infer), RMS envelope mixing, peak normalization.
+
+TPU-first design:
+  - the per-segment conversion is ONE jitted graph (HuBERT + retrieval +
+    synthesizer; no faiss CPU round-trip, no per-segment host transfers);
+  - segments are padded to a small set of canonical lengths (bucket shapes)
+    so XLA compiles a handful of programs, then real lengths are masked
+    through the model and sliced off on the host;
+  - host code does only cheap DSP (butterworth filtfilt, cut-point search,
+    RMS envelopes) with scipy/numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as sps
+
+from ..ops.retrieval import retrieve_blend
+
+# 54 chromatic reference frequencies G1..C6 (reference pipeline.py:160-204).
+AUTOTUNE_REF_FREQS = np.array([
+    49.00, 51.91, 55.00, 58.27, 61.74, 65.41, 69.30, 73.42, 77.78, 82.41,
+    87.31, 92.50, 98.00, 103.83, 110.00, 116.54, 123.47, 130.81, 138.59,
+    146.83, 155.56, 164.81, 174.61, 185.00, 196.00, 207.65, 220.00, 233.08,
+    246.94, 261.63, 277.18, 293.66, 311.13, 329.63, 349.23, 369.99, 392.00,
+    415.30, 440.00, 466.16, 493.88, 523.25, 554.37, 587.33, 622.25, 659.25,
+    698.46, 739.99, 783.99, 830.61, 880.00, 932.33, 987.77, 1046.50,
+], dtype=np.float32)
+
+F0_MIN, F0_MAX = 50.0, 1100.0
+SAMPLE_RATE = 16000
+WINDOW = 160
+
+
+def autotune_f0(f0: np.ndarray, strength: float = 1.0) -> np.ndarray:
+    """Snap each f0 value toward the nearest chromatic reference
+    (pipeline.py:88-114), vectorized."""
+    idx = np.abs(f0[:, None] - AUTOTUNE_REF_FREQS[None, :]).argmin(axis=1)
+    closest = AUTOTUNE_REF_FREQS[idx]
+    return f0 + (closest - f0) * strength
+
+
+def coarse_f0(f0: np.ndarray) -> np.ndarray:
+    """Quantize f0 to 255 mel-scale bins + 1 (pipeline.py:402-408)."""
+    f0_mel_min = 1127.0 * np.log(1.0 + F0_MIN / 700.0)
+    f0_mel_max = 1127.0 * np.log(1.0 + F0_MAX / 700.0)
+    f0_mel = 1127.0 * np.log(1.0 + f0 / 700.0)
+    scaled = (f0_mel - f0_mel_min) * 254.0 / (f0_mel_max - f0_mel_min) + 1.0
+    f0_mel = np.where(f0_mel > 0, scaled, f0_mel)
+    f0_mel = np.clip(f0_mel, 1.0, 255.0)
+    return np.rint(f0_mel).astype(np.int32)
+
+
+def _frame_rms(x: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
+    """librosa.feature.rms equivalent (centered, zero-padded)."""
+    pad = frame_length // 2
+    y = np.pad(x.astype(np.float32), (pad, pad))
+    n = 1 + (len(y) - frame_length) // hop_length
+    idx = np.arange(frame_length)[None, :] + hop_length * np.arange(n)[:, None]
+    return np.sqrt(np.mean(y[idx] ** 2, axis=1))
+
+
+def _linear_resize_np(x: np.ndarray, size: int) -> np.ndarray:
+    """torch F.interpolate(mode="linear", align_corners=False) on 1D."""
+    n = len(x)
+    if n == size:
+        return x.astype(np.float32)
+    pos = (np.arange(size, dtype=np.float64) + 0.5) * n / size - 0.5
+    pos = np.clip(pos, 0, n - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = pos - lo
+    return (x[lo] * (1 - frac) + x[hi] * frac).astype(np.float32)
+
+
+def change_rms(
+    source: np.ndarray, source_rate: int,
+    target: np.ndarray, target_rate: int, rate: float,
+) -> np.ndarray:
+    """Blend target's RMS envelope toward the source's
+    (AudioProcessor.change_rms, pipeline.py:38-85)."""
+    rms1 = _frame_rms(source, source_rate // 2 * 2, source_rate // 2)
+    rms2 = _frame_rms(target, target_rate // 2 * 2, target_rate // 2)
+    rms1 = _linear_resize_np(rms1, len(target))
+    rms2 = np.maximum(_linear_resize_np(rms2, len(target)), 1e-6)
+    return (target * (rms1 ** (1 - rate)) * (rms2 ** (rate - 1))).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Windowing parameters by the reference's VRAM tiers
+    (rvc/configs/config.py:107-123); defaults = the >=6GB tier."""
+
+    x_pad: int = 3
+    x_query: int = 10
+    x_center: int = 60
+    x_max: int = 65
+
+
+class Pipeline:
+    """Host orchestrator around one jitted conversion graph."""
+
+    def __init__(
+        self,
+        tgt_sr: int,
+        synthesizer,
+        synth_params: Dict[str, Any],
+        embedder,
+        embedder_params: Dict[str, Any],
+        cfg: PipelineConfig = PipelineConfig(),
+        upsample_factor: Optional[int] = None,
+    ):
+        self.tgt_sr = tgt_sr
+        self.cfg = cfg
+        self.t_pad = SAMPLE_RATE * cfg.x_pad
+        self.t_pad_tgt = tgt_sr * cfg.x_pad
+        self.t_pad2 = self.t_pad * 2
+        self.t_query = SAMPLE_RATE * cfg.x_query
+        self.t_center = SAMPLE_RATE * cfg.x_center
+        self.t_max = SAMPLE_RATE * cfg.x_max
+        self.synthesizer = synthesizer
+        self.synth_params = synth_params
+        self.embedder = embedder
+        self.embedder_params = embedder_params
+        # frames per second of latent = 100 (window=160 @ 16k)
+        self.upp = upsample_factor or (tgt_sr // 100)
+
+        @partial(jax.jit, static_argnames=("use_pitch",))
+        def _convert(
+            synth_params,
+            emb_params,
+            audio16k,      # [1, T16] padded
+            pitch,         # [1, P] int32 (padded)
+            pitchf,        # [1, P] f32
+            p_len,         # [] actual latent frames
+            sid,           # [1]
+            index_vectors, # [N, 768] or None
+            index_rate,    # []
+            protect,       # []
+            rng,
+            use_pitch: bool = True,
+        ):
+            feats = self.embedder.apply({"params": emb_params}, audio16k)
+            if index_vectors is not None:
+                blended = retrieve_blend(feats[0], index_vectors, index_rate)
+                feats = blended[None]
+            feats0 = feats
+            # x2 nearest upsample 50Hz -> 100Hz (pipeline.py:463-465 F.interpolate)
+            feats = jnp.repeat(feats, 2, axis=1)
+            feats0 = jnp.repeat(feats0, 2, axis=1)
+            t = min(feats.shape[1], pitch.shape[1]) if use_pitch else feats.shape[1]
+            feats = feats[:, :t]
+            feats0 = feats0[:, :t]
+            if use_pitch:
+                pitch = pitch[:, :t]
+                pitchf = pitchf[:, :t]
+                # protect blend (pipeline.py:469-481)
+                pitchff = jnp.where(pitchf > 0, 1.0, protect)
+                feats = feats * pitchff[..., None] + feats0 * (1.0 - pitchff[..., None])
+            lengths = jnp.minimum(p_len, t)[None]
+            audio, _ = self.synthesizer.apply(
+                {"params": synth_params},
+                feats,
+                lengths,
+                pitch if use_pitch else None,
+                pitchf if use_pitch else None,
+                sid,
+                method=type(self.synthesizer).infer,
+                rngs={"noise": rng},
+            )
+            return audio[0, :, 0]
+
+        self._convert = _convert
+
+    # -- host-side helpers ---------------------------------------------------
+
+    def _highpass(self, audio: np.ndarray) -> np.ndarray:
+        bh, ah = sps.butter(5, 48, btype="high", fs=SAMPLE_RATE)
+        return sps.filtfilt(bh, ah, audio).astype(np.float32)
+
+    def _find_cut_points(self, audio: np.ndarray) -> List[int]:
+        """Quietest-sample search every t_center within +-t_query windows
+        (pipeline.py:565-577)."""
+        if audio.shape[0] <= self.t_max:
+            return []
+        audio_pad = np.pad(audio, (WINDOW // 2, WINDOW // 2), mode="reflect")
+        audio_sum = np.zeros_like(audio)
+        for i in range(WINDOW):
+            audio_sum += audio_pad[i : i - WINDOW]
+        opt_ts = []
+        for t in range(self.t_center, audio.shape[0], self.t_center):
+            win = np.abs(audio_sum[t - self.t_query : t + self.t_query])
+            opt_ts.append(t - self.t_query + int(np.argmin(win)))
+        return opt_ts
+
+    def _bucket_len(self, t: int) -> int:
+        """Pad a 16k segment length up to a canonical multiple of 2 s so jit
+        compiles at most ~35 shapes over the full operating range. Always
+        strictly greater than t so the (HuBERT-truncated) latent covers all
+        p_len real frames."""
+        step = 2 * SAMPLE_RATE
+        return ((t + step) // step) * step
+
+    def get_f0(
+        self,
+        audio_pad: np.ndarray,
+        p_len: int,
+        pitch_shift: int,
+        f0_method: str = "yin",
+        predictors: Optional[Dict[str, Any]] = None,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        inp_f0: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """F0 dispatch + autotune + shift + external splice + quantization
+        (pipeline.py:322-410). predictors maps method name -> callable."""
+        predictors = predictors or {}
+        methods = (
+            [m.strip() for m in f0_method[len("hybrid["):-1].split("+")]
+            if f0_method.startswith("hybrid[")
+            else [f0_method]
+        )
+        stack = []
+        for m in methods:
+            if m in predictors:
+                f0 = np.asarray(predictors[m](audio_pad))
+            elif m == "yin":
+                from ..predictors.dsp_f0 import yin_f0_np
+
+                f0 = yin_f0_np(audio_pad)
+            else:
+                raise ValueError(f"f0 method {m!r} unavailable (no predictor loaded)")
+            stack.append(f0[:p_len] if len(f0) >= p_len else np.pad(f0, (0, p_len - len(f0))))
+        f0 = stack[0] if len(stack) == 1 else np.nanmedian(np.stack(stack), axis=0)
+
+        if f0_autotune:
+            f0 = autotune_f0(f0, f0_autotune_strength)
+        f0 = f0 * (2.0 ** (pitch_shift / 12.0))
+
+        if inp_f0 is not None:
+            # splice an external f0 contour over the pad offset
+            # (pipeline.py:584-607: rows [time_sec, f0_hz] at 10ms)
+            tf0 = SAMPLE_RATE // WINDOW
+            delta_t = int(np.round((inp_f0[:, 0].max() - inp_f0[:, 0].min()) * tf0 + 1))
+            replace = np.interp(
+                np.arange(delta_t), inp_f0[:, 0] * 100, inp_f0[:, 1]
+            )
+            off = self.cfg.x_pad * tf0
+            n = min(len(replace), len(f0) - off)
+            f0[off : off + n] = replace[:n]
+
+        return coarse_f0(f0), f0.astype(np.float32)
+
+    def voice_conversion(
+        self,
+        audio_seg: np.ndarray,
+        pitch: Optional[np.ndarray],
+        pitchf: Optional[np.ndarray],
+        sid: int,
+        index_vectors: Optional[jax.Array],
+        index_rate: float,
+        protect: float,
+        rng: jax.Array,
+    ) -> np.ndarray:
+        """Convert one 16k segment -> tgt_sr audio (pipeline.py:412-494)."""
+        t_real = audio_seg.shape[0]
+        p_len = t_real // WINDOW
+        t_pad = self._bucket_len(t_real)
+        audio_in = np.zeros(t_pad, np.float32)
+        audio_in[:t_real] = audio_seg
+
+        use_pitch = pitch is not None
+        frames_pad = t_pad // WINDOW
+        if use_pitch:
+            pit = np.ones(frames_pad, np.int32)
+            pif = np.zeros(frames_pad, np.float32)
+            n = min(p_len, len(pitch))
+            pit[:n] = pitch[:n]
+            pif[:n] = pitchf[:n]
+            pitch_in = jnp.asarray(pit[None])
+            pitchf_in = jnp.asarray(pif[None])
+        else:
+            pitch_in = jnp.zeros((1, frames_pad), jnp.int32)
+            pitchf_in = jnp.zeros((1, frames_pad), jnp.float32)
+
+        audio_out = self._convert(
+            self.synth_params,
+            self.embedder_params,
+            jnp.asarray(audio_in[None]),
+            pitch_in,
+            pitchf_in,
+            jnp.asarray(p_len, jnp.int32),
+            jnp.asarray([sid], jnp.int32),
+            index_vectors,
+            jnp.asarray(index_rate, jnp.float32),
+            jnp.asarray(protect, jnp.float32),
+            rng,
+            use_pitch=use_pitch,
+        )
+        out = np.asarray(audio_out)
+        return out[: p_len * self.upp]
+
+    def pipeline(
+        self,
+        audio: np.ndarray,
+        sid: int = 0,
+        pitch_shift: int = 0,
+        f0_method: str = "yin",
+        index_vectors: Optional[np.ndarray] = None,
+        index_rate: float = 0.0,
+        pitch_guidance: bool = True,
+        volume_envelope: float = 1.0,
+        protect: float = 0.5,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        inp_f0: Optional[np.ndarray] = None,
+        predictors: Optional[Dict[str, Any]] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Full conversion of a 16 kHz waveform -> tgt_sr waveform
+        (pipeline.py:509-694)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        index_arr = (
+            jnp.asarray(index_vectors, jnp.float32)
+            if index_vectors is not None and index_rate > 0
+            else None
+        )
+
+        audio = self._highpass(audio)
+        opt_ts = self._find_cut_points(audio)
+        audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
+        p_len = audio_pad.shape[0] // WINDOW
+
+        pitch = pitchf = None
+        if pitch_guidance:
+            pitch, pitchf = self.get_f0(
+                audio_pad, p_len, pitch_shift, f0_method, predictors,
+                f0_autotune, f0_autotune_strength, inp_f0,
+            )
+
+        out_segments = []
+        s = 0
+        t = None
+        for i, t_raw in enumerate(opt_ts):
+            t = t_raw // WINDOW * WINDOW
+            seg = audio_pad[s : t + self.t_pad2 + WINDOW]
+            pslice = slice(s // WINDOW, (t + self.t_pad2) // WINDOW)
+            rng, sub = jax.random.split(rng)
+            seg_out = self.voice_conversion(
+                seg,
+                pitch[pslice] if pitch is not None else None,
+                pitchf[pslice] if pitchf is not None else None,
+                sid, index_arr, index_rate, protect, sub,
+            )
+            out_segments.append(seg_out[self.t_pad_tgt : -self.t_pad_tgt])
+            s = t
+        rng, sub = jax.random.split(rng)
+        seg = audio_pad[t:] if t is not None else audio_pad
+        seg_out = self.voice_conversion(
+            seg,
+            pitch[t // WINDOW :] if (pitch is not None and t is not None) else pitch,
+            pitchf[t // WINDOW :] if (pitchf is not None and t is not None) else pitchf,
+            sid, index_arr, index_rate, protect, sub,
+        )
+        out_segments.append(seg_out[self.t_pad_tgt : -self.t_pad_tgt])
+
+        audio_opt = np.concatenate(out_segments)
+        if volume_envelope != 1.0:
+            audio_opt = change_rms(
+                audio, SAMPLE_RATE, audio_opt, self.tgt_sr, volume_envelope
+            )
+        peak = np.abs(audio_opt).max() / 0.99
+        if peak > 1.0:
+            audio_opt = audio_opt / peak
+        return audio_opt.astype(np.float32)

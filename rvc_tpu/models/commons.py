@@ -121,6 +121,9 @@ class Conv1d(nn.Module):
         pad = self.padding
         if pad is None:
             pad = (k * self.dilation - self.dilation) // 2
+        # Mixed precision: f32 mask multiplies may promote activations; the
+        # conv follows the parameter dtype (bf16 under the train policy).
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -179,6 +182,7 @@ class ConvTranspose1d(nn.Module):
         # Transposed conv == input-dilated conv with a spatially flipped kernel.
         pad_l = k - 1 - self.padding
         pad_r = k - 1 - self.padding + self.output_padding
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(kernel, axis=0),

@@ -49,6 +49,7 @@ class WNConv2d(nn.Module):
         norm = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=(0, 1, 2), keepdims=True) + 1e-12)
         kernel = kernel / norm * g
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,

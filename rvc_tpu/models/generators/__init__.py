@@ -1,10 +1,15 @@
 from .hifigan import HiFiGANGenerator
+from .mrf import HiFiGANMRFGenerator
 from .nsf import HiFiGANNSFGenerator, SourceModuleHnNSF
-from .sine import SineGenerator
+from .refinegan import RefineGANGenerator
+from .sine import CumsumSineGenerator, SineGenerator
 
 __all__ = [
+    "CumsumSineGenerator",
     "HiFiGANGenerator",
+    "HiFiGANMRFGenerator",
     "HiFiGANNSFGenerator",
-    "SourceModuleHnNSF",
+    "RefineGANGenerator",
     "SineGenerator",
+    "SourceModuleHnNSF",
 ]

@@ -135,18 +135,28 @@ class Synthesizer(nn.Module):
         y: jax.Array,                       # [B, T_spec, spec_channels]
         y_lengths: jax.Array,               # [B]
         ds: jax.Array,                      # [B] speaker ids
+        ids_slice: Optional[jax.Array] = None,  # [B] precomputed slice starts
     ):
-        """Training forward: returns (o, ids_slice, x_mask, y_mask, vae_tuple)."""
+        """Training forward: returns (o, ids_slice, x_mask, y_mask, vae_tuple).
+
+        When `ids_slice` is given the random slice starts are taken as-is
+        (the train step draws them outside the model so the forward pass has
+        only float outputs and can sit under jax.vjp); otherwise they are
+        drawn from the "noise" rng collection.
+        """
         g = self.emb_g(ds)[:, None, :]  # [B, 1, gin]
         m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
         z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g)
         z_p = self.flow(z, y_mask, g=g)
 
         if self.randomized:
-            rng = self.make_rng("noise")
-            z_slice, ids_slice = rand_slice_segments(
-                rng, z, y_lengths, self.segment_size
-            )
+            if ids_slice is not None:
+                z_slice = slice_segments(z, ids_slice, self.segment_size)
+            else:
+                rng = self.make_rng("noise")
+                z_slice, ids_slice = rand_slice_segments(
+                    rng, z, y_lengths, self.segment_size
+                )
             if self.use_f0:
                 pitchf_slice = slice_segments(pitchf, ids_slice, self.segment_size)
                 o = self.dec(z_slice, pitchf_slice, g=g)

@@ -1,0 +1,344 @@
+"""RMVPE pitch estimator in flax (DeepUnet + BiGRU salience model).
+
+Parity target: rvc/lib/predictors/RMVPE.py (E2E(4, 1, (2,2)): 5-layer
+encoder / 4 intermediate / 5-layer decoder U-net over a [T, 128] log-mel
+image, 3-channel head, BiGRU(384->2x256), Linear->360 sigmoid salience;
+mel front 128 mels @16k win 1024 hop 160 fmin 30 fmax 8000 htk; frames
+padded to a multiple of 32; local-average-cents decode with threshold and
+f0 = 10 * 2^(cents/1200)).
+
+TPU design: NHWC layout ([B, T, mel, C]) so convs tile onto the MXU; the
+BiGRU runs as two lax.scan passes (flax nn.RNN); decode is a vectorized
+9-tap gather instead of the reference's per-frame python loop
+(RMVPE.py:484-505). Inference is fully jitted per padded length bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.mel import mel_filterbank
+from ..ops.stft import stft_magnitude
+
+N_MELS = 128
+N_CLASS = 360
+SR = 16000
+WIN = 1024
+HOP = 160
+
+
+class ConvBlockRes(nn.Module):
+    """Two BN-conv-relu stages with residual (RMVPE.py:13-57)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        y = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn2")(y)
+        y = nn.relu(y)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+        return y + x
+
+
+class ResEncoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int = 4
+    pool: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_blocks):
+            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(x, train)
+        if self.pool:
+            pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            return x, pooled
+        return x
+
+
+class ResDecoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int = 4
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        # ConvTranspose2d k3 s2 p1 outpad1 == exact 2x upsample, expressed as
+        # an input-dilated conv with a spatially flipped kernel (same
+        # formulation as commons.ConvTranspose1d). pad = k-1-p = 1 left,
+        # k-1-p+outpad = 2 right.
+        c = x.shape[-1]
+        kernel = self.param(
+            "up_kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
+            (3, 3, c, self.out_channels),
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="up_bn")(y)
+        y = nn.relu(y)
+        y = jnp.concatenate([y, skip], axis=-1)
+        for i in range(self.n_blocks):
+            y = ConvBlockRes(self.out_channels, name=f"block_{i}")(y, train)
+        return y
+
+
+class E2EModel(nn.Module):
+    """DeepUnet + conv head + BiGRU + salience projection."""
+
+    n_blocks: int = 4
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    en_out_channels: int = 16
+    gru_hidden: int = 256
+
+    @nn.compact
+    def __call__(self, mel: jax.Array, train: bool = False) -> jax.Array:
+        """mel: [B, T, 128] log-mel (T multiple of 32) -> [B, T, 360]."""
+        x = mel[..., None]  # NHWC: [B, T, 128, 1]
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="in_bn")(x)
+
+        skips: List[jax.Array] = []
+        ch = self.en_out_channels
+        for i in range(self.en_de_layers):
+            skip, x = ResEncoderBlock(ch, self.n_blocks, name=f"enc_{i}")(x, train)
+            skips.append(skip)
+            ch *= 2
+
+        # intermediate: first maps enc_out -> 2x, rest keep (RMVPE.py:151-177)
+        for i in range(self.inter_layers):
+            x = ResEncoderBlock(ch, self.n_blocks, pool=False, name=f"inter_{i}")(
+                x, train
+            )
+
+        for i in range(self.en_de_layers):
+            ch //= 2
+            x = ResDecoderBlock(ch, self.n_blocks, name=f"dec_{i}")(
+                x, skips[-1 - i], train
+            )
+
+        x = nn.Conv(3, (3, 3), padding=1, name="cnn")(x)  # [B, T, 128, 3]
+        b, t = x.shape[0], x.shape[1]
+        x = x.reshape(b, t, 128 * 3)
+
+        fwd = nn.RNN(nn.GRUCell(self.gru_hidden), name="gru_fwd")(x)
+        bwd = nn.RNN(nn.GRUCell(self.gru_hidden), reverse=True,
+                     keep_order=True, name="gru_bwd")(x)
+        x = jnp.concatenate([fwd, bwd], axis=-1)
+        x = nn.Dense(N_CLASS, name="fc")(x)
+        return jax.nn.sigmoid(x)
+
+
+def rmvpe_mel(audio: jax.Array) -> jax.Array:
+    """[B, T] 16 kHz audio -> [B, frames, 128] log-mel, RMVPE front numerics
+    (htk mel, fmin 30, fmax 8000, centered stft, log clamp 1e-5)."""
+    mag = stft_magnitude(audio, WIN, HOP, WIN, center=True, eps=0.0)
+    fb = jnp.asarray(
+        mel_filterbank(SR, WIN, N_MELS, 30.0, 8000.0, htk=True, norm="slaney").T
+    )
+    mel = jnp.matmul(mag, fb, preferred_element_type=jnp.float32)
+    return jnp.log(jnp.clip(mel, min=1e-5))
+
+
+CENTS_MAPPING = 20.0 * np.arange(N_CLASS) + 1997.3794084376191
+
+
+def decode_salience(salience: jax.Array, thred: float = 0.03) -> jax.Array:
+    """[T, 360] salience -> [T] f0 Hz via 9-tap local average around argmax
+    (vectorized re-derivation of RMVPE.py:459-512)."""
+    t = salience.shape[0]
+    padded = jnp.pad(salience, ((0, 0), (4, 4)))
+    cents = jnp.asarray(np.pad(CENTS_MAPPING, (4, 4)), jnp.float32)
+    center = jnp.argmax(salience, axis=1) + 4  # [T]
+
+    offsets = jnp.arange(-4, 5)
+    idx = center[:, None] + offsets[None, :]            # [T, 9]
+    tap_sal = jnp.take_along_axis(padded, idx, axis=1)  # [T, 9]
+    tap_cents = cents[idx]
+    avg_cents = jnp.sum(tap_sal * tap_cents, axis=1) / jnp.maximum(
+        jnp.sum(tap_sal, axis=1), 1e-12
+    )
+    maxx = jnp.max(salience, axis=1)
+    avg_cents = jnp.where(maxx > thred, avg_cents, 0.0)
+    f0 = 10.0 * (2.0 ** (avg_cents / 1200.0))
+    return jnp.where(f0 == 10.0, 0.0, f0)
+
+
+class RMVPE:
+    """Host-facing predictor: audio in, f0 contour out (jitted per bucket)."""
+
+    def __init__(self, params: Optional[Dict[str, Any]] = None,
+                 batch_stats: Optional[Dict[str, Any]] = None,
+                 model: Optional[E2EModel] = None):
+        self.model = model or E2EModel()
+        if params is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, N_MELS))
+            )
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+        self.params = params
+        self.batch_stats = batch_stats or {}
+
+        @functools.partial(jax.jit, static_argnames=("n_frames",))
+        def _infer(params, batch_stats, audio, n_frames):
+            mel = rmvpe_mel(audio)[:, :n_frames]
+            pad = (-n_frames) % 32
+            mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+            hidden = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, mel
+            )
+            return decode_salience(hidden[0, :n_frames])
+
+        self._infer = _infer
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str) -> "RMVPE":
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        params, stats = convert_torch_rmvpe(sd)
+        return cls(params, stats)
+
+    def infer_from_audio(self, audio: np.ndarray, thred: float = 0.03) -> np.ndarray:
+        """audio: [T] 16 kHz numpy -> f0 [T//160 + 1] (centered stft frames)."""
+        audio = np.asarray(audio, np.float32)[None, :]
+        n_frames = audio.shape[1] // HOP + 1
+        f0 = self._infer(self.params, self.batch_stats, jnp.asarray(audio), n_frames)
+        return np.asarray(f0)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def _conv_block(sd, prefix) -> Tuple[Dict, Dict]:
+    """torch ConvBlockRes `prefix.conv.{0..4}` (+shortcut) -> flax params+stats."""
+    p = {
+        "conv1": {"kernel": np.transpose(sd[f"{prefix}.conv.0.weight"], (2, 3, 1, 0))},
+        "bn1": {"scale": sd[f"{prefix}.conv.1.weight"], "bias": sd[f"{prefix}.conv.1.bias"]},
+        "conv2": {"kernel": np.transpose(sd[f"{prefix}.conv.3.weight"], (2, 3, 1, 0))},
+        "bn2": {"scale": sd[f"{prefix}.conv.4.weight"], "bias": sd[f"{prefix}.conv.4.bias"]},
+    }
+    s = {
+        "bn1": {"mean": sd[f"{prefix}.conv.1.running_mean"], "var": sd[f"{prefix}.conv.1.running_var"]},
+        "bn2": {"mean": sd[f"{prefix}.conv.4.running_mean"], "var": sd[f"{prefix}.conv.4.running_var"]},
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        p["shortcut"] = {
+            "kernel": np.transpose(sd[f"{prefix}.shortcut.weight"], (2, 3, 1, 0)),
+            "bias": sd[f"{prefix}.shortcut.bias"],
+        }
+    return p, s
+
+
+def _res_stack(sd, prefix, n_blocks) -> Tuple[Dict, Dict]:
+    p, s = {}, {}
+    for i in range(n_blocks):
+        bp, bs = _conv_block(sd, f"{prefix}.conv.{i}")
+        p[f"block_{i}"] = bp
+        s[f"block_{i}"] = bs
+    return p, s
+
+
+def _gru_params(sd, prefix, reverse: bool, hidden: int) -> Dict:
+    """torch GRU (gates r,z,n stacked) -> flax GRUCell params."""
+    sfx = "_reverse" if reverse else ""
+    w_ih = sd[f"{prefix}.weight_ih_l0{sfx}"]  # [3H, in]
+    w_hh = sd[f"{prefix}.weight_hh_l0{sfx}"]  # [3H, H]
+    b_ih = sd[f"{prefix}.bias_ih_l0{sfx}"]
+    b_hh = sd[f"{prefix}.bias_hh_l0{sfx}"]
+    h = hidden
+
+    def rows(w, i):
+        return w[i * h : (i + 1) * h]
+
+    cell = {
+        "ir": {"kernel": rows(w_ih, 0).T, "bias": rows(b_ih, 0)},
+        "iz": {"kernel": rows(w_ih, 1).T, "bias": rows(b_ih, 1)},
+        "in": {"kernel": rows(w_ih, 2).T, "bias": rows(b_ih, 2)},
+        "hr": {"kernel": rows(w_hh, 0).T, "bias": rows(b_hh, 0)},
+        "hz": {"kernel": rows(w_hh, 1).T, "bias": rows(b_hh, 1)},
+        "hn": {"kernel": rows(w_hh, 2).T, "bias": rows(b_hh, 2)},
+    }
+    return {"cell": cell}
+
+
+def convert_torch_rmvpe(
+    state_dict: Dict[str, Any],
+    n_blocks: int = 4,
+    en_de_layers: int = 5,
+    inter_layers: int = 4,
+) -> Tuple[Dict, Dict]:
+    """Convert the reference rmvpe.pt (E2E state_dict) to (params, batch_stats)."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+
+    p["in_bn"] = {
+        "scale": sd["unet.encoder.bn.weight"],
+        "bias": sd["unet.encoder.bn.bias"],
+    }
+    s["in_bn"] = {
+        "mean": sd["unet.encoder.bn.running_mean"],
+        "var": sd["unet.encoder.bn.running_var"],
+    }
+
+    for i in range(en_de_layers):
+        bp, bs = _res_stack(sd, f"unet.encoder.layers.{i}", n_blocks)
+        p[f"enc_{i}"], s[f"enc_{i}"] = bp, bs
+    for i in range(inter_layers):
+        bp, bs = _res_stack(sd, f"unet.intermediate.layers.{i}", n_blocks)
+        p[f"inter_{i}"], s[f"inter_{i}"] = bp, bs
+    for i in range(en_de_layers):
+        pre = f"unet.decoder.layers.{i}"
+        up_w = sd[f"{pre}.conv1.0.weight"]  # torch convtranspose: [in, out, 3, 3]
+        dp = {
+            # stored [3, 3, in, out] (HWIO of the equivalent fwd conv)
+            "up_kernel": np.transpose(up_w, (2, 3, 0, 1)),
+            "up_bn": {
+                "scale": sd[f"{pre}.conv1.1.weight"],
+                "bias": sd[f"{pre}.conv1.1.bias"],
+            },
+        }
+        ds = {
+            "up_bn": {
+                "mean": sd[f"{pre}.conv1.1.running_mean"],
+                "var": sd[f"{pre}.conv1.1.running_var"],
+            }
+        }
+        for j in range(n_blocks):
+            bp, bs = _conv_block(sd, f"{pre}.conv2.{j}")
+            dp[f"block_{j}"] = bp
+            ds[f"block_{j}"] = bs
+        p[f"dec_{i}"], s[f"dec_{i}"] = dp, ds
+
+    p["cnn"] = {
+        "kernel": np.transpose(sd["cnn.weight"], (2, 3, 1, 0)),
+        "bias": sd["cnn.bias"],
+    }
+    p["gru_fwd"] = _gru_params(sd, "fc.0.gru", False, 256)
+    p["gru_bwd"] = _gru_params(sd, "fc.0.gru", True, 256)
+    p["fc"] = {"kernel": sd["fc.1.weight"].T, "bias": sd["fc.1.bias"]}
+
+    return jax.tree.map(jnp.asarray, p), jax.tree.map(jnp.asarray, s)

@@ -1,0 +1,58 @@
+"""Feature-index builder.
+
+Parity target: rvc/train/process/extract_index.py:1-78 — concatenate all
+`extracted/*.npy` HuBERT features, shuffle (seed 1234... the reference uses
+np.random.shuffle unseeded; we seed for reproducibility), compress to 10k
+k-means centroids when the matrix exceeds 2e5 rows, and write the index.
+
+TPU difference: no IVF training/nprobe — search is exact on device
+(ops/retrieval.py), so the "index" is just the (optionally compressed)
+matrix stored as .npz. n_ivf/nprobe knobs disappear with zero recall loss.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..ops.retrieval import FeatureIndex, kmeans
+
+MAX_ROWS_BEFORE_COMPRESSION = 2 * 10**5
+N_CENTROIDS = 10_000
+
+
+def build_index(
+    exp_dir: str,
+    output_path: Optional[str] = None,
+    seed: int = 1234,
+    max_rows: int = MAX_ROWS_BEFORE_COMPRESSION,
+    n_centroids: int = N_CENTROIDS,
+) -> str:
+    """Build `<model>.index.npz` from `<exp_dir>/extracted/*.npy`."""
+    feature_dir = os.path.join(exp_dir, "extracted")
+    paths = sorted(glob.glob(os.path.join(feature_dir, "*.npy")))
+    if not paths:
+        raise FileNotFoundError(f"no extracted features under {feature_dir}")
+
+    feats = np.concatenate([np.load(p) for p in paths], axis=0).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(feats)
+
+    if feats.shape[0] > max_rows:
+        import jax.numpy as jnp
+
+        centroids = kmeans(
+            jax.random.PRNGKey(seed), jnp.asarray(feats), n_centroids
+        )
+        feats = np.asarray(centroids)
+
+    index = FeatureIndex(feats)
+    if output_path is None:
+        model_name = os.path.basename(os.path.normpath(exp_dir))
+        output_path = os.path.join(exp_dir, f"{model_name}.index.npz")
+    index.save(output_path)
+    return output_path

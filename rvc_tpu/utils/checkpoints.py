@@ -1,0 +1,297 @@
+"""Checkpoint interop + native checkpoint format.
+
+Two jobs:
+  1. Convert reference RVC `.pth` checkpoints (weights-only deployable models
+     written by rvc/train/process/extract_model.py:27-112, and full training
+     ckpts from rvc/train/utils.py:34-118) into flax parameter trees for our
+     Synthesizer — including weight-norm g/v recombination in both the legacy
+     `weight_g/weight_v` and new `parametrizations.weight.original0/1` key
+     styles (utils.py:49-55 back-compat).
+  2. Our own native checkpoint format: a single .npz of flattened params plus
+     a JSON metadata header mirroring the reference's embedded config list +
+     metadata fields (sr/f0/vocoder/version/embedder/speakers_id/hash).
+
+Layouts: torch Conv1d [out,in,K] -> flax [K,in,out]; ConvTranspose1d
+[in,out,K] -> [K,in,out] with per-in-channel g; Linear [out,in] -> [in,out].
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# key normalization + primitive converters
+# ---------------------------------------------------------------------------
+
+
+def normalize_weight_norm_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Map `parametrizations.weight.original{0,1}` to `weight_g/weight_v`."""
+    out = {}
+    for k, v in sd.items():
+        k = k.replace(".parametrizations.weight.original0", ".weight_g")
+        k = k.replace(".parametrizations.weight.original1", ".weight_v")
+        out[k] = v
+    return out
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().float().numpy()
+    return np.asarray(v)
+
+
+def conv1d(sd, prefix, weight_norm=False, bias=True) -> Dict[str, np.ndarray]:
+    p: Dict[str, np.ndarray] = {}
+    if weight_norm and f"{prefix}.weight_v" in sd:
+        v = _np(sd[f"{prefix}.weight_v"])            # [out, in, K]
+        g = _np(sd[f"{prefix}.weight_g"]).reshape(-1)  # [out]
+        p["kernel"] = np.transpose(v, (2, 1, 0))
+        p["g"] = g
+    else:
+        w = _np(sd[f"{prefix}.weight"])
+        p["kernel"] = np.transpose(w, (2, 1, 0))
+        if weight_norm:
+            p["g"] = np.sqrt((p["kernel"] ** 2).sum(axis=(0, 1)) + 1e-12)
+            # fold so kernel/norm*g reproduces the plain weight
+    if bias and f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def conv_transpose1d(sd, prefix, weight_norm=True, bias=True) -> Dict[str, np.ndarray]:
+    p: Dict[str, np.ndarray] = {}
+    if weight_norm and f"{prefix}.weight_v" in sd:
+        v = _np(sd[f"{prefix}.weight_v"])              # [in, out, K]
+        g = _np(sd[f"{prefix}.weight_g"]).reshape(-1)  # [in]
+        p["kernel"] = np.transpose(v, (2, 0, 1))       # [K, in, out]
+        p["g"] = g
+    else:
+        w = _np(sd[f"{prefix}.weight"])
+        p["kernel"] = np.transpose(w, (2, 0, 1))
+        if weight_norm:
+            p["g"] = np.sqrt((p["kernel"] ** 2).sum(axis=(0, 2)) + 1e-12)
+    if bias and f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def dense(sd, prefix) -> Dict[str, np.ndarray]:
+    p = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def embed(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"embedding": _np(sd[f"{prefix}.weight"])}
+
+
+def layer_norm(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.gamma"]), "bias": _np(sd[f"{prefix}.beta"])}
+
+
+def wavenet(sd, prefix, n_layers, has_cond=True) -> Dict[str, Any]:
+    """torch WaveNet (modules.py:5-109): in_layers/res_skip_layers/cond_layer."""
+    p: Dict[str, Any] = {}
+    if has_cond and f"{prefix}.cond_layer.weight_v" in sd:
+        p["cond_layer"] = conv1d(sd, f"{prefix}.cond_layer", weight_norm=True)
+    for i in range(n_layers):
+        p[f"in_{i}"] = conv1d(sd, f"{prefix}.in_layers.{i}", weight_norm=True)
+        p[f"res_skip_{i}"] = conv1d(sd, f"{prefix}.res_skip_layers.{i}", weight_norm=True)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# synthesizer conversion
+# ---------------------------------------------------------------------------
+
+
+def _convert_text_encoder(sd, n_layers: int, use_f0: bool) -> Dict[str, Any]:
+    enc: Dict[str, Any] = {}
+    for i in range(n_layers):
+        a = f"enc_p.encoder.attn_layers.{i}"
+        enc[f"attn_{i}"] = {
+            "conv_q": conv1d(sd, f"{a}.conv_q"),
+            "conv_k": conv1d(sd, f"{a}.conv_k"),
+            "conv_v": conv1d(sd, f"{a}.conv_v"),
+            "conv_o": conv1d(sd, f"{a}.conv_o"),
+            "emb_rel_k": _np(sd[f"{a}.emb_rel_k"]),
+            "emb_rel_v": _np(sd[f"{a}.emb_rel_v"]),
+        }
+        enc[f"norm1_{i}"] = layer_norm(sd, f"enc_p.encoder.norm_layers_1.{i}")
+        enc[f"ffn_{i}"] = {
+            "conv_1": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_1"),
+            "conv_2": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_2"),
+        }
+        enc[f"norm2_{i}"] = layer_norm(sd, f"enc_p.encoder.norm_layers_2.{i}")
+    p = {
+        "emb_phone": dense(sd, "enc_p.emb_phone"),
+        "encoder": enc,
+        "proj": conv1d(sd, "enc_p.proj"),
+    }
+    if use_f0 and "enc_p.emb_pitch.weight" in sd:
+        p["emb_pitch"] = embed(sd, "enc_p.emb_pitch")
+    return p
+
+
+def _convert_flow(sd, n_flows: int = 4, n_layers: int = 3) -> Dict[str, Any]:
+    p: Dict[str, Any] = {}
+    for i in range(n_flows):
+        t = f"flow.flows.{i * 2}"  # odd entries are parameterless Flips
+        p[f"coupling_{i}"] = {
+            "pre": conv1d(sd, f"{t}.pre"),
+            "enc": wavenet(sd, f"{t}.enc", n_layers),
+            "post": conv1d(sd, f"{t}.post"),
+        }
+    return p
+
+
+def _convert_posterior(sd, n_layers: int = 16) -> Dict[str, Any]:
+    return {
+        "pre": conv1d(sd, "enc_q.pre"),
+        "enc": wavenet(sd, "enc_q.enc", n_layers),
+        "proj": conv1d(sd, "enc_q.proj"),
+    }
+
+
+def _convert_nsf_decoder(
+    sd, n_ups: int, num_kernels: int
+) -> Dict[str, Any]:
+    """HiFiGANNSFGenerator (hifigan_nsf.py:55-207) -> our nsf.py naming."""
+    p: Dict[str, Any] = {
+        "conv_pre": conv1d(sd, "dec.conv_pre"),
+        "conv_post": conv1d(sd, "dec.conv_post", bias=False),
+        "m_source": {"l_linear": dense(sd, "dec.m_source.l_linear")},
+    }
+    if "dec.cond.weight" in sd:
+        p["cond"] = conv1d(sd, "dec.cond")
+    for i in range(n_ups):
+        p[f"ups_{i}"] = conv_transpose1d(sd, f"dec.ups.{i}", weight_norm=True)
+        p[f"noise_convs_{i}"] = conv1d(sd, f"dec.noise_convs.{i}")
+        for j in range(num_kernels):
+            flat = i * num_kernels + j
+            rb: Dict[str, Any] = {}
+            # count dilations from available keys
+            k = 0
+            while f"dec.resblocks.{flat}.convs1.{k}.weight_v" in sd or \
+                  f"dec.resblocks.{flat}.convs1.{k}.weight" in sd:
+                rb[f"conv1_{k}"] = conv1d(
+                    sd, f"dec.resblocks.{flat}.convs1.{k}", weight_norm=True
+                )
+                rb[f"conv2_{k}"] = conv1d(
+                    sd, f"dec.resblocks.{flat}.convs2.{k}", weight_norm=True
+                )
+                k += 1
+            p[f"resblock_{i}_{j}"] = rb
+    return p
+
+
+def convert_torch_synthesizer(
+    state_dict: Dict[str, Any],
+    n_enc_layers: int = 6,
+    n_ups: int = 4,
+    num_kernels: int = 3,
+    use_f0: bool = True,
+    has_enc_q: bool = False,
+) -> Dict[str, Any]:
+    """Torch Synthesizer state_dict -> flax params for models.Synthesizer
+    (NSF-HiFi-GAN decoder; deployable ckpts have enc_q stripped,
+    extract_model.py:60-66)."""
+    sd = normalize_weight_norm_keys(
+        {k: _np(v) for k, v in state_dict.items()}
+    )
+    params: Dict[str, Any] = {
+        "enc_p": _convert_text_encoder(sd, n_enc_layers, use_f0),
+        "flow": _convert_flow(sd),
+        "emb_g": embed(sd, "emb_g"),
+        "dec": _convert_nsf_decoder(sd, n_ups, num_kernels),
+    }
+    if has_enc_q and "enc_q.pre.weight" in sd:
+        params["enc_q"] = _convert_posterior(sd)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Read a reference deployable .pth: returns (flax_params, metadata).
+
+    Metadata mirrors extract_model.py fields: config list, sr, f0, version,
+    vocoder, embedder_model, speakers_id, author, hash.
+    """
+    import torch
+
+    cpt = torch.load(path, map_location="cpu", weights_only=True)
+    weights = cpt["model"] if isinstance(cpt, dict) and "model" in cpt else cpt
+    meta = {
+        k: cpt.get(k)
+        for k in ("config", "sr", "f0", "version", "vocoder",
+                  "embedder_model", "speakers_id", "author", "model_hash")
+        if isinstance(cpt, dict)
+    }
+    cfg_list = meta.get("config") or []
+    n_ups = len(cfg_list[10]) if len(cfg_list) > 10 and isinstance(cfg_list[10], (list, tuple)) else 4
+    params = convert_torch_synthesizer(weights, n_ups=n_ups)
+    return params, meta
+
+
+# ---------------------------------------------------------------------------
+# native checkpoint format
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_checkpoint(
+    path: str,
+    params: Dict[str, Any],
+    metadata: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write params+metadata as one .npz (metadata JSON under __meta__)."""
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    meta = dict(metadata or {})
+    digest = hashlib.sha256()
+    for k in sorted(flat):
+        digest.update(k.encode())
+        digest.update(flat[k].tobytes())
+    meta["model_hash"] = digest.hexdigest()
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    return meta["model_hash"]
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    data = np.load(path, allow_pickle=False)
+    flat = {k: data[k] for k in data.files if k != "__meta__"}
+    meta = {}
+    if "__meta__" in data.files:
+        meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
+    return jax.tree.map(jnp.asarray, _unflatten(flat)), meta
