@@ -1,0 +1,322 @@
+"""Optional discriminator zoo (swappable adversaries).
+
+Parity target: rvc/lib/algorithm/custom_discriminators/ (~1660 LoC; present in
+the reference but not wired into train.py): MPD v1/v2 (mpd.py:8), the
+MultiResolutionDiscriminator (mrd.py:105), EnCodec-style
+MultiScaleSTFTDiscriminator (msstftd.py:160), CQT sub-band discriminator
+(mssbcqtd.py:185), FreGAN multi-scale (fregan_mpd.py:190), and the
+CombinedDiscriminator wrapper (discriminator_wrapper.py:7).
+
+All return (logits_list_real, logits_list_fake, fmaps_real, fmaps_fake) with
+the same structure as models.discriminators.MultiPeriodDiscriminator, so the
+train step's losses work unchanged. Layout [B, T, 1] waveforms; STFT fronts
+reuse ops.stft (constants baked into XLA)."""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.stft import stft_magnitude
+from .commons import Conv1d, leaky_relu
+from .discriminators import DiscriminatorP, DiscriminatorS, WNConv2d
+
+MPD_V1_PERIODS = (2, 3, 5, 7, 11)
+MPD_V2_PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
+
+
+class MultiPeriodDiscriminatorV1(nn.Module):
+    """Original RVC v1 period set (mpd.py:8)."""
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        return _run_discs(
+            [DiscriminatorS(name="disc_s")]
+            + [DiscriminatorP(p, name=f"disc_p{p}") for p in MPD_V1_PERIODS],
+            y, y_hat,
+        )
+
+
+class DiscriminatorR(nn.Module):
+    """Single-resolution magnitude-STFT discriminator (mrd.py:1-103)."""
+
+    n_fft: int
+    hop: int
+    win: int
+    channels: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        wav = x[..., 0]  # [B, T]
+        pad = (self.n_fft - self.hop) // 2
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        mag = stft_magnitude(wav, self.n_fft, self.hop, self.win, center=False,
+                             eps=0.0)
+        h = mag[..., None]  # [B, frames, bins, 1]
+        fmap = []
+        specs = [((3, 9), (1, 1)), ((3, 9), (1, 2)), ((3, 9), (1, 2)),
+                 ((3, 9), (1, 2)), ((3, 3), (1, 1))]
+        for i, (k, s) in enumerate(specs):
+            h = WNConv2d(
+                self.channels, k, strides=s,
+                padding=((k[0] - 1) // 2, (k[1] - 1) // 2), name=f"conv_{i}",
+            )(h)
+            h = leaky_relu(h)
+            fmap.append(h)
+        h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiResolutionDiscriminator(nn.Module):
+    """MRD over (1024/120/600, 2048/240/1200, 512/50/240) (mrd.py:105-148)."""
+
+    resolutions: Sequence[Tuple[int, int, int]] = (
+        (1024, 120, 600), (2048, 240, 1200), (512, 50, 240),
+    )
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        discs = [
+            DiscriminatorR(n, h, w, name=f"disc_r{n}")
+            for n, h, w in self.resolutions
+        ]
+        return _run_discs(discs, y, y_hat)
+
+
+class DiscriminatorSTFT(nn.Module):
+    """EnCodec-style complex-STFT discriminator (msstftd.py:35-157): real+imag
+    input channels, (3,9) convs with time dilations (1,2,4), stride (1,2)."""
+
+    n_fft: int
+    hop: int
+    filters: int = 32
+    max_filters: int = 1024
+    dilations: Sequence[int] = (1, 2, 4)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        wav = x[..., 0]
+        pad = self.n_fft // 2
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        window = jnp.asarray(
+            np.hanning(self.n_fft).astype(np.float32)
+        )
+        n_frames = 1 + (wav.shape[1] - self.n_fft) // self.hop
+        idx = (jnp.arange(self.n_fft)[None, :]
+               + self.hop * jnp.arange(n_frames)[:, None])
+        frames = wav[:, idx] * window
+        spec = jnp.fft.rfft(frames, axis=-1)
+        h = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [B,T,F,2]
+
+        fmap = []
+        h = WNConv2d(self.filters, (3, 9), padding=(1, 4), name="conv_pre")(h)
+        h = leaky_relu(h, 0.2)
+        fmap.append(h)
+        ch = self.filters
+        for i, d in enumerate(self.dilations):
+            ch = min(ch * 2, self.max_filters)
+            # dilation on time axis: fold into padding
+            pad_t = ((3 - 1) * d) // 2
+            hh = jax.lax.conv_general_dilated(
+                h,
+                self.param(
+                    f"dil_kernel_{i}",
+                    nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
+                    (3, 9, h.shape[-1], ch),
+                ),
+                window_strides=(1, 2),
+                padding=((pad_t, pad_t), (4, 4)),
+                rhs_dilation=(d, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = leaky_relu(hh, 0.2)
+            fmap.append(h)
+        h = WNConv2d(ch, (3, 3), padding=(1, 1), name="conv_mid")(h)
+        h = leaky_relu(h, 0.2)
+        fmap.append(h)
+        h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiScaleSTFTDiscriminator(nn.Module):
+    """MS-STFT over 5 FFT sizes (msstftd.py:160-207)."""
+
+    n_ffts: Sequence[int] = (1024, 2048, 512, 256, 128)
+    hops: Sequence[int] = (256, 512, 128, 64, 32)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        discs = [
+            DiscriminatorSTFT(n, h, name=f"disc_stft{n}")
+            for n, h in zip(self.n_ffts, self.hops)
+        ]
+        return _run_discs(discs, y, y_hat)
+
+
+def cqt_kernels(
+    sr: int, fmin: float, n_bins: int, bins_per_octave: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Precompute complex CQT basis (nnAudio CQT2010 equivalent used by
+    mssbcqtd.py): per-bin windowed complex exponentials, returned as cos/sin
+    matrices [n_bins, kernel_len] for a single matmul per hop."""
+    freqs = fmin * (2.0 ** (np.arange(n_bins) / bins_per_octave))
+    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    lengths = np.ceil(q * sr / freqs).astype(int)
+    klen = int(2 ** np.ceil(np.log2(lengths.max())))
+    cos_k = np.zeros((n_bins, klen), np.float32)
+    sin_k = np.zeros((n_bins, klen), np.float32)
+    for i, (f, l) in enumerate(zip(freqs, lengths)):
+        l = min(l, klen)
+        start = (klen - l) // 2
+        t = np.arange(l)
+        window = np.hanning(l)
+        phase = 2 * np.pi * f * (t - l / 2) / sr
+        cos_k[i, start : start + l] = (window * np.cos(phase) / l).astype(np.float32)
+        sin_k[i, start : start + l] = (window * np.sin(phase) / l).astype(np.float32)
+    return cos_k, sin_k, klen
+
+
+class DiscriminatorCQT(nn.Module):
+    """CQT-magnitude discriminator (mssbcqtd.py:1-183 simplified: magnitude
+    CQT front instead of learned band-splitting, then the 2D conv trunk)."""
+
+    sample_rate: int
+    hop: int = 256
+    fmin: float = 32.7
+    n_bins: int = 84
+    bins_per_octave: int = 12
+    channels: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        wav = x[..., 0]
+        cos_k, sin_k, klen = cqt_kernels(
+            self.sample_rate, self.fmin, self.n_bins, self.bins_per_octave
+        )
+        pad = klen // 2
+        y = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        n_frames = 1 + (y.shape[1] - klen) // self.hop
+        idx = jnp.arange(klen)[None, :] + self.hop * jnp.arange(n_frames)[:, None]
+        frames = y[:, idx]  # [B, T, klen]
+        re = jnp.matmul(frames, jnp.asarray(cos_k).T,
+                        preferred_element_type=jnp.float32)
+        im = jnp.matmul(frames, jnp.asarray(sin_k).T,
+                        preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re**2 + im**2 + 1e-9)
+        h = jnp.log(mag + 1e-5)[..., None]  # [B, T, bins, 1]
+
+        fmap = []
+        for i, (k, s) in enumerate([((3, 9), (1, 1)), ((3, 9), (1, 2)),
+                                    ((3, 9), (1, 2)), ((3, 3), (1, 1))]):
+            h = WNConv2d(
+                self.channels, k, strides=s,
+                padding=((k[0] - 1) // 2, (k[1] - 1) // 2), name=f"conv_{i}",
+            )(h)
+            h = leaky_relu(h)
+            fmap.append(h)
+        h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiScaleSubbandCQTDiscriminator(nn.Module):
+    """CQT discriminators at three hop scales (mssbcqtd.py:185-230)."""
+
+    sample_rate: int = 48000
+    hops: Sequence[int] = (512, 256, 128)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        discs = [
+            DiscriminatorCQT(self.sample_rate, hop=h, name=f"disc_cqt{h}")
+            for h in self.hops
+        ]
+        return _run_discs(discs, y, y_hat)
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """FreGAN-style raw multi-scale: DiscriminatorS on x1/x2/x4 average-pooled
+    waveforms (fregan_mpd.py:190-278)."""
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        def pooled(x, k):
+            if k == 1:
+                return x
+            return nn.avg_pool(x, (k,), strides=(k,), padding="SAME")
+
+        discs = [DiscriminatorS(name=f"disc_s{k}") for k in (1, 2, 4)]
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for d, k in zip(discs, (1, 2, 4)):
+            out_r, fr = d(pooled(y, k))
+            out_g, fg = d(pooled(y_hat, k))
+            y_d_rs.append(out_r)
+            y_d_gs.append(out_g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class CombinedDiscriminator(nn.Module):
+    """Chain several discriminators into one adversary
+    (discriminator_wrapper.py:7-29)."""
+
+    discriminators: Tuple[nn.Module, ...]
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for d in self.discriminators:
+            r, g, fr, fg = d(y, y_hat)
+            y_d_rs += r
+            y_d_gs += g
+            fmap_rs += fr
+            fmap_gs += fg
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def _run_discs(discs, y, y_hat):
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    for d in discs:
+        out_r, fmap_r = d(y)
+        out_g, fmap_g = d(y_hat)
+        y_d_rs.append(out_r)
+        y_d_gs.append(out_g)
+        fmap_rs.append(fmap_r)
+        fmap_gs.append(fmap_g)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+DISCRIMINATOR_REGISTRY = {
+    "mpd_v1": MultiPeriodDiscriminatorV1,
+    "mrd": MultiResolutionDiscriminator,
+    "msstft": MultiScaleSTFTDiscriminator,
+    "mssbcqt": MultiScaleSubbandCQTDiscriminator,
+    "msd": MultiScaleDiscriminator,
+}
+
+
+def build_discriminator(names, sample_rate: int = 48000):
+    """Build a (possibly combined) discriminator from registry names; the
+    default single 'mpd' uses models.discriminators.MultiPeriodDiscriminator."""
+    from .discriminators import MultiPeriodDiscriminator
+
+    mods = []
+    for n in names:
+        if n in ("mpd", "mpd_v2"):
+            mods.append(MultiPeriodDiscriminator())
+        elif n == "mssbcqt":
+            mods.append(MultiScaleSubbandCQTDiscriminator(sample_rate=sample_rate))
+        elif n in DISCRIMINATOR_REGISTRY:
+            mods.append(DISCRIMINATOR_REGISTRY[n]())
+        else:
+            raise ValueError(f"unknown discriminator {n!r}")
+    if len(mods) == 1:
+        return mods[0]
+    return CombinedDiscriminator(tuple(mods))

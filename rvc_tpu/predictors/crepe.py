@@ -1,0 +1,207 @@
+"""CREPE pitch estimator in flax (full + tiny capacities).
+
+Parity target: the reference's torchcrepe usage (rvc/infer/pipeline.py:212-259,
+rvc/train/extract/extract.py:51-75): 1024-sample frames at 16 kHz, per-frame
+normalization (mean/std), 6 conv blocks (BN + ReLU + maxpool2), Linear -> 360
+sigmoid salience, cents decode (weighted local average or Viterbi), quantile
+normalization of the input loudness, NaN-interp resize to p_len.
+
+TPU design: frames are extracted with a strided window op and the whole
+conv stack runs as one batched NHWC graph — no per-frame python loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.stft import frame_signal
+
+SR = 16000
+WINDOW = 1024
+N_CLASS = 360
+CENTS_MAPPING = 20.0 * np.arange(N_CLASS) + 1997.3794084376191
+
+# capacity: full = 32x multiplier, tiny = 4x (crepe paper / torchcrepe)
+CAPACITIES = {"full": 32, "tiny": 4}
+BASE_FILTERS = (32, 4, 4, 4, 8, 16)
+KERNELS = (512, 64, 64, 64, 64, 64)
+STRIDES = (4, 1, 1, 1, 1, 1)
+
+
+class CrepeModel(nn.Module):
+    capacity: str = "full"
+
+    @nn.compact
+    def __call__(self, frames: jax.Array, train: bool = False) -> jax.Array:
+        """frames [N, 1024] (already normalized) -> salience [N, 360]."""
+        mult = CAPACITIES[self.capacity]
+        x = frames[:, :, None, None]  # NHWC: [N, 1024, 1, 1]
+        for i, (f, k, s) in enumerate(zip(BASE_FILTERS, KERNELS, STRIDES)):
+            # torchcrepe pads 'same'-style: (254, 254) for layer 1, (31, 32) after
+            pad = (254, 254) if i == 0 else (31, 32)
+            x = nn.Conv(
+                f * mult, (k, 1), strides=(s, 1),
+                padding=(pad, (0, 0)), name=f"conv{i + 1}",
+            )(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, name=f"bn{i + 1}"
+            )(x)
+            x = nn.max_pool(x, (2, 1), strides=(2, 1))
+        n = x.shape[0]
+        x = x.reshape(n, -1)
+        x = nn.Dense(N_CLASS, name="classifier")(x)
+        return jax.nn.sigmoid(x)
+
+
+def _decode_weighted(salience: np.ndarray) -> np.ndarray:
+    """Weighted local average around argmax (torchcrepe weighted_argmax)."""
+    center = salience.argmax(axis=1)
+    padded = np.pad(salience, ((0, 0), (4, 4)))
+    cents = np.pad(CENTS_MAPPING, (4, 4))
+    idx = center[:, None] + np.arange(9)[None, :]
+    w = np.take_along_axis(padded, idx, axis=1)
+    c = cents[idx]
+    return (w * c).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-12)
+
+
+def _decode_viterbi(salience: np.ndarray) -> np.ndarray:
+    """Viterbi smoothing over pitch bins (torchcrepe default decoder):
+    gaussian transition prior over bin distance, uniform self/step balance."""
+    t, n = salience.shape
+    # transition matrix: prefer small pitch movement
+    d = np.arange(n)
+    trans = np.maximum(12 - np.abs(d[:, None] - d[None, :]), 0).astype(np.float64)
+    trans = trans / trans.sum(axis=1, keepdims=True)
+    log_trans = np.log(trans + 1e-12)
+
+    obs = salience.astype(np.float64)
+    obs = obs / np.maximum(obs.sum(axis=1, keepdims=True), 1e-12)
+    log_obs = np.log(obs + 1e-12)
+
+    dp = np.full(n, np.log(1.0 / n)) + log_obs[0]
+    back = np.zeros((t, n), np.int32)
+    for i in range(1, t):
+        scores = dp[:, None] + log_trans
+        back[i] = scores.argmax(axis=0)
+        dp = scores.max(axis=0) + log_obs[i]
+    path = np.zeros(t, np.int32)
+    path[-1] = dp.argmax()
+    for i in range(t - 2, -1, -1):
+        path[i] = back[i + 1, path[i + 1]]
+    # refine with weighted average around the viterbi bin
+    padded = np.pad(salience, ((0, 0), (4, 4)))
+    cents_pad = np.pad(CENTS_MAPPING, (4, 4))
+    idx = path[:, None] + np.arange(9)[None, :]
+    w = np.take_along_axis(padded, idx, axis=1)
+    c = cents_pad[idx]
+    return (w * c).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-12)
+
+
+class CREPE:
+    def __init__(self, capacity: str = "full",
+                 params: Optional[Dict[str, Any]] = None,
+                 batch_stats: Optional[Dict[str, Any]] = None):
+        self.model = CrepeModel(capacity)
+        if params is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, WINDOW))
+            )
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+        self.params = params
+        self.batch_stats = batch_stats or {}
+
+        @jax.jit
+        def _salience(params, batch_stats, frames):
+            mu = jnp.mean(frames, axis=1, keepdims=True)
+            std = jnp.maximum(jnp.std(frames, axis=1, keepdims=True), 1e-10)
+            frames = (frames - mu) / std
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, frames
+            )
+
+        self._salience = _salience
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, capacity: str = "full") -> "CREPE":
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        params, stats = convert_torchcrepe(sd)
+        return cls(capacity, params, stats)
+
+    def predict(
+        self,
+        audio: np.ndarray,
+        hop_length: int = 160,
+        fmin: float = 50.0,
+        fmax: float = 1100.0,
+        decoder: str = "viterbi",
+        batch_size: int = 512,
+    ) -> np.ndarray:
+        """audio [T] 16 kHz -> f0 [T//hop + 1]; frames are centered (pad=True
+        semantics of torchcrepe.predict)."""
+        audio = np.asarray(audio, np.float32)
+        pad = WINDOW // 2
+        padded = np.pad(audio, (pad, pad))
+        frames = np.asarray(
+            frame_signal(jnp.asarray(padded[None]), WINDOW, hop_length)[0]
+        )
+        sal_parts = []
+        for i in range(0, len(frames), batch_size):
+            sal_parts.append(np.asarray(self._salience(
+                self.params, self.batch_stats,
+                jnp.asarray(frames[i : i + batch_size]),
+            )))
+        salience = np.concatenate(sal_parts, axis=0)
+
+        # restrict to [fmin, fmax] bins
+        cents_lo = 1200 * np.log2(fmin / 10.0)
+        cents_hi = 1200 * np.log2(fmax / 10.0)
+        mask = (CENTS_MAPPING < cents_lo) | (CENTS_MAPPING > cents_hi)
+        salience[:, mask] = 0.0
+
+        cents = (
+            _decode_viterbi(salience) if decoder == "viterbi"
+            else _decode_weighted(salience)
+        )
+        f0 = 10.0 * (2.0 ** (cents / 1200.0))
+        conf = salience.max(axis=1)
+        f0[conf < 1e-3] = 0.0
+        return f0.astype(np.float32)
+
+
+def convert_torchcrepe(state_dict: Dict[str, Any]):
+    """torchcrepe Crepe state_dict -> (params, batch_stats)."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for i in range(1, 7):
+        w = sd[f"conv{i}.weight"]  # [out, 1, K, 1]
+        p[f"conv{i}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": sd[f"conv{i}.bias"],
+        }
+        p[f"bn{i}"] = {
+            "scale": sd[f"conv{i}_BN.weight"],
+            "bias": sd[f"conv{i}_BN.bias"],
+        }
+        s[f"bn{i}"] = {
+            "mean": sd[f"conv{i}_BN.running_mean"],
+            "var": sd[f"conv{i}_BN.running_var"],
+        }
+    p["classifier"] = {
+        "kernel": sd["classifier.weight"].T,
+        "bias": sd["classifier.bias"],
+    }
+    return jax.tree.map(jnp.asarray, p), jax.tree.map(jnp.asarray, s)

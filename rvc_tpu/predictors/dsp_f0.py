@@ -45,11 +45,14 @@ def yin_f0(
     tau_min = max(2, int(sample_rate / fmax))
     w = frame // 2
 
-    # difference function d(tau) = sum_t (x[t] - x[t+tau])^2 over window w,
-    # computed via FFT autocorrelation: d = r0 + r0_shift - 2*acf.
+    # difference function d(tau) = sum_{t<w} (x[t] - x[t+tau])^2, with the
+    # cross term restricted to the window: corr[tau] = sum_{t<w} x[t]x[t+tau]
+    # = irfft(conj(fft(x[:w])) * fft(x)) — NOT the full autocorrelation.
     x = frames
-    fft = jnp.fft.rfft(x, n=2 * frame, axis=-1)
-    acf = jnp.fft.irfft(fft * jnp.conj(fft), axis=-1)[:, : w + 1]  # [n, w+1]
+    xw = x * (jnp.arange(frame) < w)[None, :]
+    fft_full = jnp.fft.rfft(x, n=2 * frame, axis=-1)
+    fft_win = jnp.fft.rfft(xw, n=2 * frame, axis=-1)
+    corr = jnp.fft.irfft(jnp.conj(fft_win) * fft_full, axis=-1)[:, : w + 1]
     cumsq = jnp.cumsum(x**2, axis=-1)
     # energy of x[0:w] and x[tau:tau+w]
     e0 = cumsq[:, w - 1 : w]                                  # [n, 1]
@@ -57,7 +60,7 @@ def yin_f0(
     e_tau = cumsq[:, taus + w - 1] - jnp.where(
         taus > 0, cumsq[:, jnp.maximum(taus - 1, 0)], 0.0
     )
-    d = e0 + e_tau - 2.0 * acf                                 # [n, w+1]
+    d = jnp.maximum(e0 + e_tau - 2.0 * corr, 0.0)              # [n, w+1]
 
     # cumulative mean normalized difference
     cum = jnp.cumsum(d[:, 1:], axis=-1)
@@ -69,12 +72,21 @@ def yin_f0(
     rng_mask = (taus >= tau_min) & (taus <= min(tau_max, w))
     masked = jnp.where(rng_mask[None, :], cmnd, jnp.inf)
 
-    # first tau under threshold, else global min
+    # YIN absolute-threshold rule: first tau under threshold, then descend to
+    # the local minimum (the crossing happens a few samples before the true
+    # period); fall back to the global minimum when nothing crosses.
     under = masked < threshold
     any_under = jnp.any(under, axis=-1)
-    first_under = jnp.argmax(under, axis=-1)
+    first_under = jnp.argmax(under, axis=-1)                   # [n]
     global_min = jnp.argmin(masked, axis=-1)
-    tau = jnp.where(any_under, first_under, global_min)        # [n]
+    # bounded descent: argmin of cmnd within [c, 1.5c] — covers the dip at
+    # the true period while excluding the 2T octave dip.
+    c = first_under[:, None]
+    descent_mask = (taus[None, :] >= c) & (taus[None, :] <= c + c // 2 + 2)
+    local_min = jnp.argmin(
+        jnp.where(descent_mask & rng_mask[None, :], cmnd, jnp.inf), axis=-1
+    )
+    tau = jnp.where(any_under, local_min, global_min)          # [n]
 
     # parabolic interpolation around tau
     tau_c = jnp.clip(tau, 1, w - 1)

@@ -1,0 +1,82 @@
+"""Gradio web application (7 tabs).
+
+Parity target: app.py:22-112 (Blocks app on port 7897 with port-retry) and
+the tabs/ package: inference, train, tts, voice_blender, download, utilities
+(analyzer + f0 extractor), settings (theme/lang/precision/restart). Tab
+callbacks call the same library functions the CLI uses — no subprocess layer.
+
+Launching requires the `gradio` wheel; everything degrades to a clear error
+without it so the package stays importable in headless environments.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .i18n import I18nAuto
+
+DEFAULT_PORT = 7897
+MAX_PORT_RETRIES = 10
+
+
+def _require_gradio():
+    try:
+        import gradio as gr
+
+        return gr
+    except ImportError as e:
+        raise RuntimeError(
+            "the web UI needs the `gradio` package; install it or use the "
+            "CLI (`python -m rvc_tpu.cli --help`)"
+        ) from e
+
+
+def build_app():
+    gr = _require_gradio()
+    i18n = I18nAuto()
+
+    from .tabs import (
+        download_tab, inference_tab, settings_tab, train_tab, tts_tab,
+        utilities_tab, voice_blender_tab,
+    )
+
+    with gr.Blocks(title="rvc_tpu") as app:
+        gr.Markdown("## rvc_tpu — TPU-native voice conversion")
+        with gr.Tab(i18n("Inference")):
+            inference_tab(gr, i18n)
+        with gr.Tab(i18n("Training")):
+            train_tab(gr, i18n)
+        with gr.Tab(i18n("TTS")):
+            tts_tab(gr, i18n)
+        with gr.Tab(i18n("Voice Blender")):
+            voice_blender_tab(gr, i18n)
+        with gr.Tab(i18n("Download")):
+            download_tab(gr, i18n)
+        with gr.Tab(i18n("Extra")):
+            utilities_tab(gr, i18n)
+        with gr.Tab(i18n("Settings")):
+            settings_tab(gr, i18n)
+    return app
+
+
+def launch(port: int = DEFAULT_PORT, share: bool = False) -> None:
+    """Launch with port retry (reference app.py:99-112)."""
+    app = build_app()
+    for offset in range(MAX_PORT_RETRIES):
+        try:
+            app.launch(
+                server_name="0.0.0.0",
+                server_port=port + offset,
+                share=share,
+                favicon_path=None,
+            )
+            return
+        except OSError:
+            print(f"port {port + offset} busy, retrying...")
+    raise RuntimeError("no free port found for the UI")
+
+
+if __name__ == "__main__":
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_PORT
+    launch(port)

@@ -1,0 +1,89 @@
+"""Shape/structure tests for the optional discriminator zoo (parity targets
+cited in rvc_tpu/models/custom_discriminators.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.models.custom_discriminators import (
+    CombinedDiscriminator,
+    DiscriminatorR,
+    MultiResolutionDiscriminator,
+    MultiScaleDiscriminator,
+    MultiScaleSTFTDiscriminator,
+    build_discriminator,
+    cqt_kernels,
+)
+
+T = 4096
+
+
+def _wave(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(1, T, 1)) * 0.1, jnp.float32)
+
+
+def _check_output(out, n_discs):
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = out
+    assert len(y_d_rs) == len(y_d_gs) == n_discs
+    assert len(fmap_rs) == len(fmap_gs) == n_discs
+    for r, g in zip(y_d_rs, y_d_gs):
+        assert r.shape == g.shape and r.ndim == 2
+        assert np.isfinite(np.asarray(r)).all()
+    for fr in fmap_rs:
+        assert len(fr) >= 4
+
+
+def test_discriminator_r_single():
+    d = DiscriminatorR(512, 128, 512)
+    vs = d.init(jax.random.PRNGKey(0), _wave())
+    logits, fmap = d.apply(vs, _wave())
+    assert logits.ndim == 2 and len(fmap) == 6
+
+
+@pytest.mark.slow
+def test_mrd():
+    d = MultiResolutionDiscriminator(resolutions=((512, 128, 512), (256, 64, 256)))
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    _check_output(d.apply(vs, _wave(), _wave(1)), 2)
+
+
+@pytest.mark.slow
+def test_msstft():
+    d = MultiScaleSTFTDiscriminator(n_ffts=(256, 128), hops=(64, 32))
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    _check_output(d.apply(vs, _wave(), _wave(1)), 2)
+
+
+@pytest.mark.slow
+def test_msd():
+    d = MultiScaleDiscriminator()
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    _check_output(d.apply(vs, _wave(), _wave(1)), 3)
+
+
+def test_cqt_kernels_shapes():
+    cos_k, sin_k, klen = cqt_kernels(16000, 32.7, 48, 12)
+    assert cos_k.shape == sin_k.shape == (48, klen)
+    assert klen & (klen - 1) == 0  # power of two
+    # kernels are normalized and finite
+    assert np.isfinite(cos_k).all() and np.abs(cos_k).max() < 1.0
+
+
+@pytest.mark.slow
+def test_combined_discriminator():
+    d = CombinedDiscriminator((
+        MultiResolutionDiscriminator(resolutions=((256, 64, 256),)),
+        MultiScaleSTFTDiscriminator(n_ffts=(128,), hops=(32,)),
+    ))
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    out = d.apply(vs, _wave(), _wave(1))
+    assert len(out[0]) == 2  # 1 + 1 sub-discriminators
+
+
+def test_build_discriminator_registry():
+    d = build_discriminator(["mrd"])
+    assert isinstance(d, MultiResolutionDiscriminator)
+    with pytest.raises(ValueError):
+        build_discriminator(["nope"])
