@@ -67,6 +67,7 @@ class PosteriorEncoder(nn.Module):
     dilation_rate: int = 1
     n_layers: int = 16
     gin_channels: int = 256
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(
@@ -87,6 +88,9 @@ class PosteriorEncoder(nn.Module):
         )(x, y_mask, g=g)
         stats = Conv1d(self.out_channels * 2, 1, name="proj")(x) * y_mask
         m, logs = jnp.split(stats, 2, axis=-1)
-        noise = jax.random.normal(self.make_rng("noise"), m.shape, m.dtype)
-        z = (m + noise * jnp.exp(logs)) * y_mask
+        if self.zero_noise:
+            z = m * y_mask
+        else:
+            noise = jax.random.normal(self.make_rng("noise"), m.shape, m.dtype)
+            z = (m + noise * jnp.exp(logs)) * y_mask
         return z, m, logs, y_mask

@@ -79,6 +79,7 @@ class MRFSourceModule(nn.Module):
     sine_amp: float = 0.1
     add_noise_std: float = 0.003
     voiced_threshold: float = 0.0
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(self, f0: jax.Array) -> jax.Array:
@@ -89,6 +90,7 @@ class MRFSourceModule(nn.Module):
             self.sine_amp,
             self.add_noise_std,
             self.voiced_threshold,
+            zero_noise=self.zero_noise,
             name="l_sin_gen",
         )(f0)
         merged = nn.Dense(1, name="l_linear")(sines)
@@ -105,6 +107,7 @@ class HiFiGANMRFGenerator(nn.Module):
     gin_channels: int
     sample_rate: int
     harmonic_num: int = 8
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(
@@ -123,6 +126,7 @@ class HiFiGANMRFGenerator(nn.Module):
         har_source = MRFSourceModule(
             sample_rate=self.sample_rate,
             harmonic_num=self.harmonic_num,
+            zero_noise=self.zero_noise,
             name="m_source",
         )(f0_up)
 

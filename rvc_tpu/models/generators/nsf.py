@@ -31,6 +31,7 @@ class SourceModuleHnNSF(nn.Module):
     sine_amp: float = 0.1
     add_noise_std: float = 0.003
     voiced_threshold: float = 0.0
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(self, f0: jax.Array, upsample_factor: int) -> jax.Array:
@@ -40,6 +41,7 @@ class SourceModuleHnNSF(nn.Module):
             self.sine_amp,
             self.add_noise_std,
             self.voiced_threshold,
+            zero_noise=self.zero_noise,
             name="l_sin_gen",
         )(f0, upsample_factor)
         merged = nn.Dense(1, name="l_linear")(sines)
@@ -56,6 +58,7 @@ class HiFiGANNSFGenerator(nn.Module):
     gin_channels: int
     sr: int
     harmonic_num: int = 0
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(
@@ -68,7 +71,8 @@ class HiFiGANNSFGenerator(nn.Module):
         num_kernels = len(self.resblock_kernel_sizes)
 
         har_source = SourceModuleHnNSF(
-            sample_rate=self.sr, harmonic_num=self.harmonic_num, name="m_source"
+            sample_rate=self.sr, harmonic_num=self.harmonic_num,
+            zero_noise=self.zero_noise, name="m_source",
         )(f0, upp)  # [B, T_audio, 1]
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)

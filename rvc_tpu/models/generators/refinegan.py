@@ -68,10 +68,13 @@ class AdaIN(nn.Module):
 
     channels: int
     slope: float = 0.2
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         w = self.param("weight", nn.initializers.ones, (self.channels,))
+        if self.zero_noise:
+            return leaky_relu(x, self.slope)
         noise = jax.random.normal(self.make_rng("noise"), x.shape, x.dtype)
         return leaky_relu(x + noise * w[None, None, :], self.slope)
 
@@ -84,6 +87,7 @@ class ParallelResBlock(nn.Module):
     kernel_sizes: Sequence[int] = (3, 7, 11)
     dilations: Sequence[int] = (1, 3, 5)
     slope: float = 0.2
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -92,12 +96,14 @@ class ParallelResBlock(nn.Module):
         )(x)
         outs = []
         for i, k in enumerate(self.kernel_sizes):
-            y = AdaIN(self.out_channels, self.slope, name=f"adain1_{i}")(x)
+            y = AdaIN(self.out_channels, self.slope, self.zero_noise,
+                      name=f"adain1_{i}")(x)
             y = RefineResBlock(
                 self.out_channels, k, tuple(self.dilations), self.slope,
                 name=f"resblock_{i}",
             )(y)
-            y = AdaIN(self.out_channels, self.slope, name=f"adain2_{i}")(y)
+            y = AdaIN(self.out_channels, self.slope, self.zero_noise,
+                      name=f"adain2_{i}")(y)
             outs.append(y)
         return sum(outs) / len(outs)
 
@@ -110,6 +116,7 @@ class RefineGANSource(nn.Module):
     sine_amp: float = 0.1
     add_noise_std: float = 0.003
     voiced_threshold: float = 0.0
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(self, f0: jax.Array) -> jax.Array:
@@ -119,6 +126,7 @@ class RefineGANSource(nn.Module):
             self.sine_amp,
             self.add_noise_std,
             self.voiced_threshold,
+            zero_noise=self.zero_noise,
             name="l_sin_gen",
         )(f0)
         merged = nn.Dense(1, use_bias=False, name="merge")(sines)
@@ -134,6 +142,7 @@ class RefineGANGenerator(nn.Module):
     start_channels: int = 16  # kept for config parity; unused
     gin_channels: int = 256
     upsample_initial_channel: int = 512
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(
@@ -148,7 +157,9 @@ class RefineGANGenerator(nn.Module):
         channels = self.upsample_initial_channel
 
         f0_up = linear_resize(f0[..., None], t_frames * upp)  # [B, T_audio, 1]
-        har_source = RefineGANSource(self.sample_rate, name="m_source")(f0_up)
+        har_source = RefineGANSource(
+            self.sample_rate, zero_noise=self.zero_noise, name="m_source"
+        )(f0_up)
 
         x = Conv1d(
             channels // 2, 7, padding=3, use_weight_norm=True, name="pre_conv"
@@ -188,6 +199,7 @@ class RefineGANGenerator(nn.Module):
             x = ParallelResBlock(
                 out_channels=channels // 2,
                 slope=self.slope,
+                zero_noise=self.zero_noise,
                 name=f"upsample_conv_{i}",
             )(x)
             channels //= 2

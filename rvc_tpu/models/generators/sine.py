@@ -21,6 +21,7 @@ class SineGenerator(nn.Module):
     sine_amplitude: float = 0.1
     noise_stddev: float = 0.003
     voiced_threshold: float = 0.0
+    zero_noise: bool = False  # debug: kill phase/additive noise for numeric diffs
 
     @nn.compact
     def __call__(self, f0: jax.Array, upsampling_factor: int):
@@ -44,7 +45,7 @@ class SineGenerator(nn.Module):
         harmonic_scale = jnp.arange(1, n_waves + 1, dtype=jnp.float32)[None, None, :]
         phase = phase * harmonic_scale
 
-        if n_waves > 1:
+        if n_waves > 1 and not self.zero_noise:
             rand_phase = jax.random.uniform(self.make_rng("noise"), (1, 1, n_waves))
             rand_phase = rand_phase.at[..., 0].set(0.0)  # fundamental keeps phase 0
             phase = phase + rand_phase
@@ -55,9 +56,12 @@ class SineGenerator(nn.Module):
         uv = jnp.repeat(uv, upp, axis=1)  # nearest-neighbor upsample
 
         noise_amp = uv * self.noise_stddev + (1.0 - uv) * (self.sine_amplitude / 3.0)
-        noise = noise_amp * jax.random.normal(
-            self.make_rng("noise"), sine.shape, sine.dtype
-        )
+        if self.zero_noise:
+            noise = jnp.zeros_like(sine)
+        else:
+            noise = noise_amp * jax.random.normal(
+                self.make_rng("noise"), sine.shape, sine.dtype
+            )
         sine = sine * uv + noise
         return sine, uv, noise
 
@@ -104,6 +108,7 @@ class CumsumSineGenerator(nn.Module):
     sine_amplitude: float = 0.1
     noise_stddev: float = 0.003
     voiced_threshold: float = 0.0
+    zero_noise: bool = False
 
     @nn.compact
     def __call__(self, f0: jax.Array):
@@ -115,17 +120,23 @@ class CumsumSineGenerator(nn.Module):
 
         # Random initial phase per harmonic; fundamental stays at 0
         # (reference hifigan_mrf.py:142-145 adds it to the first sample's rad).
-        rand_ini = jax.random.uniform(self.make_rng("noise"), (f0.shape[0], 1, n_waves))
-        rand_ini = rand_ini.at[..., 0].set(0.0)
-        rad = rad.at[:, :1, :].add(rand_ini)
+        if not self.zero_noise:
+            rand_ini = jax.random.uniform(
+                self.make_rng("noise"), (f0.shape[0], 1, n_waves)
+            )
+            rand_ini = rand_ini.at[..., 0].set(0.0)
+            rad = rad.at[:, :1, :].add(rand_ini)
 
         phase = wrapped_phase_cumsum(rad)
         sine = jnp.sin(2.0 * jnp.pi * phase) * self.sine_amplitude
 
         uv = (f0 > self.voiced_threshold).astype(jnp.float32)  # [B, T, 1]
         noise_amp = uv * self.noise_stddev + (1.0 - uv) * (self.sine_amplitude / 3.0)
-        noise = noise_amp * jax.random.normal(
-            self.make_rng("noise"), sine.shape, sine.dtype
-        )
+        if self.zero_noise:
+            noise = jnp.zeros_like(sine)
+        else:
+            noise = noise_amp * jax.random.normal(
+                self.make_rng("noise"), sine.shape, sine.dtype
+            )
         sine = sine * uv + noise
         return sine, uv, noise

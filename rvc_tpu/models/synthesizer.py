@@ -50,6 +50,10 @@ class Synthesizer(nn.Module):
     # depth knobs (reference hardcodes 16/3; exposed for tiny test/dryrun builds)
     posterior_layers: int = 16
     flow_layers: int = 3
+    # debug mode: all stochastic sites (posterior sample, sine phase/additive
+    # noise, AdaIN) become deterministic for bitwise numeric diffs; pair with
+    # infer(temperature=0.0) to also silence the prior sample.
+    zero_noise: bool = False
 
     def setup(self):
         self.enc_p = TextEncoder(
@@ -69,6 +73,7 @@ class Synthesizer(nn.Module):
             dilation_rate=1,
             n_layers=self.posterior_layers,
             gin_channels=self.gin_channels,
+            zero_noise=self.zero_noise,
         )
         self.flow = ResidualCouplingBlock(
             self.inter_channels,
@@ -94,6 +99,7 @@ class Synthesizer(nn.Module):
                     gin_channels=self.gin_channels,
                     sample_rate=self.sr,
                     harmonic_num=8,
+                    zero_noise=self.zero_noise,
                 )
             elif self.vocoder == "RefineGAN":
                 from .generators.refinegan import RefineGANGenerator
@@ -104,6 +110,7 @@ class Synthesizer(nn.Module):
                     upsample_rates=tuple(self.upsample_rates),
                     start_channels=16,
                     num_mels=self.inter_channels,
+                    zero_noise=self.zero_noise,
                 )
             else:
                 self.dec = HiFiGANNSFGenerator(
@@ -115,6 +122,7 @@ class Synthesizer(nn.Module):
                     self.upsample_kernel_sizes,
                     gin_channels=self.gin_channels,
                     sr=self.sr,
+                    zero_noise=self.zero_noise,
                 )
         else:
             if self.vocoder != "HiFi-GAN":
@@ -182,8 +190,11 @@ class Synthesizer(nn.Module):
         """Inference: prior sample -> inverse flow -> decode. Returns (o, x_mask)."""
         g = self.emb_g(sid)[:, None, :]
         m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
-        eps = jax.random.normal(self.make_rng("noise"), m_p.shape, m_p.dtype)
-        z_p = (m_p + jnp.exp(logs_p) * eps * temperature) * x_mask
+        if self.zero_noise or temperature == 0.0:
+            z_p = m_p * x_mask
+        else:
+            eps = jax.random.normal(self.make_rng("noise"), m_p.shape, m_p.dtype)
+            z_p = (m_p + jnp.exp(logs_p) * eps * temperature) * x_mask
         z = self.flow(z_p, x_mask, g=g, reverse=True)
         if self.use_f0:
             o = self.dec(z * x_mask, nsff0, g=g)

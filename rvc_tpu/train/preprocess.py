@@ -32,7 +32,13 @@ SR16K = 16000
 
 
 def frame_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
-    """RMS per frame with centered constant padding (slicer.py:199-235)."""
+    """RMS per frame with centered constant padding (slicer.py:199-235).
+    Uses the native C++ scanner when available."""
+    from ..utils import native
+
+    out = native.frame_rms(y, frame_length, hop_length)
+    if out is not None:
+        return out
     pad = frame_length // 2
     y = np.pad(y, (pad, pad), mode="constant")
     n = (len(y) - frame_length) // hop_length + 1

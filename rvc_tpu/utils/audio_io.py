@@ -59,9 +59,18 @@ def to_mono(data: np.ndarray) -> np.ndarray:
 
 
 def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """High-quality polyphase resampling (host-side soxr equivalent)."""
+    """High-quality polyphase resampling (host-side soxr equivalent).
+
+    Prefers the native C++ Kaiser-windowed polyphase engine
+    (native/audio_engine.cpp via utils.native); falls back to scipy."""
     if orig_sr == target_sr:
         return data.astype(np.float32)
+    if data.ndim == 1:
+        from . import native
+
+        out = native.resample(data, orig_sr, target_sr)
+        if out is not None:
+            return out
     ratio = Fraction(target_sr, orig_sr)
     out = resample_poly(data, ratio.numerator, ratio.denominator, axis=0)
     return out.astype(np.float32)

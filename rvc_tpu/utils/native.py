@@ -1,0 +1,118 @@
+"""ctypes bindings for the native C++ audio engine.
+
+The reference's host-side hot loops live in C wheels (soxr resampling,
+librosa framing). Ours live in native/audio_engine.cpp: Kaiser-windowed
+polyphase resampler, frame-RMS scanner, normalization blend. This module
+loads the shared library (building it on first use when a toolchain exists)
+and exposes numpy-facing wrappers; callers fall back to scipy when the
+library is unavailable (see utils/audio_io.py, train/preprocess.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libaudio_engine.so"))
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "audio_engine.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             "-o", _LIB_PATH, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.resample_poly.restype = ctypes.c_int64
+    lib.resample_poly.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.frame_rms.restype = ctypes.c_int64
+    lib.frame_rms.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.normalize_blend.restype = ctypes.c_int32
+    lib.normalize_blend.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> Optional[np.ndarray]:
+    """Native polyphase resample; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(data, np.float32)
+    n_out = lib.resample_poly(_fptr(x), len(x), float(orig_sr),
+                              float(target_sr), None)
+    out = np.empty(n_out, np.float32)
+    lib.resample_poly(_fptr(x), len(x), float(orig_sr), float(target_sr),
+                      _fptr(out))
+    return out
+
+
+def frame_rms(data: np.ndarray, frame: int, hop: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(data, np.float32)
+    n_frames = (len(x) + 2 * (frame // 2) - frame) // hop + 1
+    out = np.empty(n_frames, np.float32)
+    written = lib.frame_rms(_fptr(x), len(x), frame, hop, _fptr(out), n_frames)
+    return out[:written]
+
+
+def normalize_blend(
+    data: np.ndarray, max_amp: float = 0.9, alpha: float = 0.75
+) -> Optional[np.ndarray]:
+    """Returns None when lib unavailable; raises ValueError on rejected take."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(data, np.float32)
+    out = np.empty_like(x)
+    rc = lib.normalize_blend(_fptr(x), len(x), max_amp, alpha, _fptr(out))
+    if rc != 0:
+        raise ValueError("rejected: peak > 2.5")
+    return out
