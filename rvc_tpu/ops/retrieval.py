@@ -39,6 +39,55 @@ def knn_search(
     return jnp.maximum(-neg_d, 0.0), idx
 
 
+@partial(jax.jit, static_argnames=("k", "tile"))
+def knn_search_tiled(
+    queries: jax.Array, vectors: jax.Array, k: int = 8, tile: int = 65536
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming exact k-NN for HBM-scale indexes.
+
+    Scans the index in `tile`-row blocks with a running top-k merge, so peak
+    memory is O(T * tile) instead of O(T * N) — a production-size index
+    (millions of rows) streams through the MXU without materializing the
+    full distance matrix. Numerically identical to knn_search.
+    """
+    t, d = queries.shape
+    n = vectors.shape[0]
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+    if pad:
+        # padded rows get +inf distance via an explicit validity mask
+        vectors = jnp.pad(vectors, ((0, pad), (0, 0)))
+    valid = (jnp.arange(n_tiles * tile) < n).reshape(n_tiles, tile)
+    vt = vectors.reshape(n_tiles, tile, d)
+    q2 = jnp.sum(queries**2, axis=1, keepdims=True)
+
+    def body(carry, inputs):
+        best_d, best_i = carry  # [T, k] running (distance, index)
+        vtile, vmask, start = inputs
+        v2 = jnp.sum(vtile**2, axis=1)[None, :]
+        cross = jnp.matmul(
+            queries, vtile.T, preferred_element_type=jnp.float32
+        )
+        d2 = jnp.where(vmask[None, :], q2 + v2 - 2.0 * cross, jnp.inf)
+        idx = start + jnp.arange(tile)[None, :].astype(jnp.int32)
+        cat_d = jnp.concatenate([best_d, d2], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx, d2.shape)], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (
+        jnp.full((t, k), jnp.inf, jnp.float32),
+        jnp.zeros((t, k), jnp.int32),
+    )
+    starts = (jnp.arange(n_tiles) * tile).astype(jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(body, init, (vt, valid, starts))
+    return jnp.maximum(best_d, 0.0), best_i
+
+
+# index row count above which retrieval switches to the streaming kernel
+TILED_SEARCH_THRESHOLD = 200_000
+
+
 @partial(jax.jit, static_argnames=("k",))
 def retrieve_blend(
     feats: jax.Array,
@@ -51,9 +100,13 @@ def retrieve_blend(
     feats [T, D]; returns [T, D]:
       w_j = (1/d_j^2) normalized; retrieved = sum_j w_j * v_{ix_j};
       out = index_rate * retrieved + (1 - index_rate) * feats
-    (reference pipeline.py:497-507 numerics).
+    (reference pipeline.py:497-507 numerics). Large indexes stream through
+    the tiled kernel to bound memory.
     """
-    d2, idx = knn_search(feats, vectors, k)
+    if vectors.shape[0] > TILED_SEARCH_THRESHOLD:
+        d2, idx = knn_search_tiled(feats, vectors, k)
+    else:
+        d2, idx = knn_search(feats, vectors, k)
     w = 1.0 / jnp.square(jnp.maximum(d2, 1e-12))
     w = w / jnp.sum(w, axis=1, keepdims=True)
     gathered = vectors[idx]                                   # [T, k, D]

@@ -341,12 +341,42 @@ class Trainer:
             self.logger.log(int(self.state.step), out)
         return out
 
+    def render_reference(self, epoch: int, rng: jax.Array) -> Optional[str]:
+        """Golden-input regression probe: render logs/reference/{ref_feats,
+        ref_f0c, ref_f0f}.npy through net_g.infer each save epoch (reference
+        train.py:824-872,1364-1380 logs it as TB audio; we write a wav)."""
+        ref_dir = os.path.join("logs", "reference")
+        paths = [os.path.join(ref_dir, n) for n in
+                 ("ref_feats.npy", "ref_f0c.npy", "ref_f0f.npy")]
+        if not all(os.path.exists(p) for p in paths):
+            return None
+        feats = np.load(paths[0])
+        f0c = np.load(paths[1])
+        f0f = np.load(paths[2])
+        phone = np.repeat(feats, 2, axis=0)
+        n = min(len(phone), len(f0c), len(f0f))
+        audio, _ = self.model_g.apply(
+            {"params": self.state.params_g},
+            jnp.asarray(phone[None, :n], jnp.float32),
+            jnp.asarray([n], jnp.int32),
+            jnp.asarray(f0c[None, :n], jnp.int32),
+            jnp.asarray(f0f[None, :n], jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            method=type(self.model_g).infer,
+            rngs={"noise": rng},
+        )
+        from ..utils.audio_io import write_wav
+
+        out = os.path.join(self.args.exp_dir, f"reference_e{epoch}.wav")
+        write_wav(out, np.asarray(audio[0, :, 0]), self.cfg.data.sample_rate)
+        return out
+
     def fit(self) -> None:
         if self.state is None:
             self.init_state()
         rng = jax.random.PRNGKey(self.args.seed + jax.process_index())
         for epoch in range(self.start_epoch, self.args.total_epochs + 1):
-            rng, erng, vrng = jax.random.split(rng, 3)
+            rng, erng, vrng, rrng = jax.random.split(rng, 4)
             stats = self.train_epoch(epoch, erng)
             print(
                 f"epoch {epoch}/{self.args.total_epochs} "
@@ -356,6 +386,10 @@ class Trainer:
             )
             if epoch % self.args.save_every_epoch == 0 or epoch == self.args.total_epochs:
                 self.validate(vrng)
+                try:
+                    self.render_reference(epoch, rrng)
+                except Exception as e:
+                    print(f"reference render skipped ({e})")
                 self.save(epoch)
                 self.logger.flush()
 

@@ -1,0 +1,88 @@
+"""Measure full-size 48k GAN train-step throughput on the attached chip.
+
+Not the driver bench (bench.py reports inference xRT); this is the
+steps/sec figure against the BASELINE.md north star (>=3x A100 steps/sec
+on v5e-8; here we measure a single chip).
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+from rvc_tpu.configs import get_config
+from rvc_tpu.models.discriminators import MultiPeriodDiscriminator
+from rvc_tpu.models.synthesizer import Synthesizer
+from rvc_tpu.train.optimizers import make_optimizer
+from rvc_tpu.train.step import create_train_state, make_train_step
+
+
+def main(batch_size: int = 8, frames: int = 400, n_steps: int = 10) -> None:
+    cfg = get_config(48000)
+    model_g = Synthesizer.from_config(cfg)
+    model_d = MultiPeriodDiscriminator()
+
+    B, T = batch_size, frames
+    rng = np.random.default_rng(0)
+    batch = {
+        "phone": jnp.asarray(rng.normal(size=(B, T, 768)), jnp.float32),
+        "phone_lengths": jnp.full((B,), T, jnp.int32),
+        "pitch": jnp.full((B, T), 100, jnp.int32),
+        "pitchf": jnp.full((B, T), 220.0, jnp.float32),
+        "spec": jnp.asarray(
+            np.abs(rng.normal(size=(B, T, cfg.data.spec_channels))), jnp.float32
+        ),
+        "spec_lengths": jnp.full((B,), T, jnp.int32),
+        "wave": jnp.asarray(
+            rng.normal(size=(B, T * cfg.data.hop_length, 1)) * 0.1, jnp.float32
+        ),
+        "sid": jnp.zeros((B,), jnp.int32),
+    }
+
+    tx_g = make_optimizer("adamw", 1e-4)
+    tx_d = make_optimizer("adamw", 1e-4)
+    print("initializing...", flush=True)
+    t0 = time.time()
+    state = create_train_state(
+        jax.random.PRNGKey(0), cfg, model_g, model_d, tx_g, tx_d, batch
+    )
+    print(f"init {time.time()-t0:.1f}s", flush=True)
+
+    step = jax.jit(
+        make_train_step(cfg, model_g, model_d, tx_g, tx_d, steps_per_epoch=100),
+        donate_argnums=(0,),
+    )
+    t0 = time.time()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    print(f"compile+first step {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics)
+    dt = (time.time() - t0) / n_steps
+    print(json.dumps({
+        "metric": "train_steps_per_sec_48k",
+        "batch_size": B,
+        "frames": T,
+        "step_seconds": round(dt, 4),
+        "value": round(1.0 / dt, 3),
+        "audio_seconds_per_sec": round(B * cfg.train.segment_size / 48000 / dt, 2),
+        "metrics": {k: round(float(v), 4) for k, v in metrics.items()},
+    }))
+
+
+if __name__ == "__main__":
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    main(batch_size=bs)

@@ -1,0 +1,161 @@
+"""End-to-end slow tests: full inference Pipeline and a tiny training run.
+
+These exercise the real orchestration paths (chunking, f0, retrieval, RMS
+mixing; epoch loop, checkpoint save/resume) with miniature models on CPU."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.configs import get_config
+from rvc_tpu.models.synthesizer import Synthesizer
+
+pytestmark = pytest.mark.slow
+
+SR_MODEL = 32000
+
+
+def _tiny_cfg():
+    cfg = get_config(SR_MODEL)
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, filter_length=512, hop_length=320, win_length=512
+        ),
+        model=dataclasses.replace(
+            cfg.model,
+            inter_channels=8, hidden_channels=8, filter_channels=16,
+            n_heads=2, n_layers=1, upsample_initial_channel=16, gin_channels=8,
+            spk_embed_dim=4, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+            upsample_rates=(16, 10, 2), upsample_kernel_sizes=(32, 20, 4),
+        ),
+        train=dataclasses.replace(cfg.train, segment_size=320 * 4, batch_size=2),
+    )
+
+
+class TinyEmbedder:
+    """Minimal stand-in with the FlaxHubert call signature: [B, T16k] ->
+    [B, (T-400)//320+1, 768]."""
+
+    def apply(self, variables, audio):
+        b, t = audio.shape
+        n = (t - 400) // 320 + 1
+        frames = jax.lax.conv_general_dilated_patches(
+            audio[:, None, :], filter_shape=(400,), window_strides=(320,),
+            padding="VALID",
+        )[:, :, :n]
+        frames = jnp.transpose(frames, (0, 2, 1))  # [B, n, 400]
+        proj = variables["params"]["proj"]
+        return jnp.matmul(frames, proj, preferred_element_type=jnp.float32)
+
+
+def test_full_inference_pipeline():
+    from rvc_tpu.infer.pipeline import Pipeline, PipelineConfig
+
+    cfg = _tiny_cfg()
+    model = dataclasses.replace(
+        Synthesizer.from_config(cfg), posterior_layers=2, flow_layers=1
+    )
+    t = 20
+    rng = np.random.default_rng(0)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(rng.normal(size=(1, t, 768)), jnp.float32),
+        jnp.asarray([t], jnp.int32),
+        jnp.full((1, t), 100, jnp.int32),
+        jnp.full((1, t), 220.0, jnp.float32),
+        jnp.zeros((1, t, cfg.data.spec_channels)),
+        jnp.asarray([t], jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+
+    emb = TinyEmbedder()
+    emb_params = {"proj": jnp.asarray(
+        rng.normal(size=(400, 768)) * 0.01, jnp.float32
+    )}
+
+    pipe = Pipeline(
+        SR_MODEL, model, vs["params"], emb, emb_params,
+        PipelineConfig(x_pad=1, x_query=2, x_center=8, x_max=10),
+        upsample_factor=cfg.upsample_factor,
+    )
+
+    # 3 s of 16k audio with tone + silence; index retrieval active
+    tt = np.arange(3 * 16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * tt)).astype(np.float32)
+    index_vectors = rng.normal(size=(64, 768)).astype(np.float32)
+
+    out = pipe.pipeline(
+        audio, sid=0, pitch_shift=2, f0_method="yin",
+        index_vectors=index_vectors, index_rate=0.5,
+        volume_envelope=0.8, protect=0.3, f0_autotune=True,
+    )
+    # output at model rate (320 samples/frame * 100 frames/sec = 32k)
+    expected = len(audio) / 16000 * SR_MODEL
+    assert abs(len(out) - expected) / expected < 0.1
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+
+
+def test_trainer_one_epoch_and_resume(tmp_path):
+    from rvc_tpu.train.data import FileListRow
+    from rvc_tpu.train.trainer import Trainer, TrainerArgs
+    from rvc_tpu.utils.audio_io import write_wav
+
+    cfg = _tiny_cfg()
+    exp = tmp_path / "exp"
+    exp.mkdir()
+
+    # synthesize a 4-example dataset at the model rate
+    rows = []
+    rng = np.random.default_rng(0)
+    n_frames = 30
+    hop = cfg.data.hop_length
+    for i in range(4):
+        wav = (rng.normal(size=n_frames * hop) * 0.1).astype(np.float32)
+        wp = str(exp / f"0_{i}.wav")
+        write_wav(wp, wav, SR_MODEL, subtype="FLOAT")
+        feats = rng.normal(size=(n_frames // 2, 768)).astype(np.float32)
+        f0c = rng.integers(1, 255, size=n_frames).astype(np.int64)
+        f0f = (rng.random(n_frames) * 300).astype(np.float32)
+        fp, cp, vp = str(exp / f"f{i}.npy"), str(exp / f"c{i}.npy"), str(exp / f"v{i}.npy")
+        np.save(fp, feats); np.save(cp, f0c); np.save(vp, f0f)
+        rows.append(f"{wp}|{fp}|{cp}|{vp}|0")
+    (exp / "filelist.txt").write_text("\n".join(rows) + "\n")
+
+    args = TrainerArgs(exp_dir=str(exp), total_epochs=1, save_every_epoch=1)
+    trainer = Trainer(cfg, args)
+    # shrink the models for CPU
+    trainer.model_g = dataclasses.replace(
+        trainer.model_g, posterior_layers=2, flow_layers=1
+    )
+    from rvc_tpu.models.discriminators import MultiPeriodDiscriminator
+
+    trainer.model_d = MultiPeriodDiscriminator(periods=(2,))
+    trainer.step_fn = __import__(
+        "rvc_tpu.train.step", fromlist=["make_train_step"]
+    ).make_train_step(
+        trainer.cfg, trainer.model_g, trainer.model_d, trainer.tx_g,
+        trainer.tx_d, trainer.steps_per_epoch,
+    )
+    from rvc_tpu.parallel import make_mesh, shard_train_step
+
+    trainer.jstep = shard_train_step(trainer.step_fn, trainer.mesh)
+    trainer.fit()
+
+    assert os.path.exists(exp / "G_1.npz")
+    assert os.path.exists(exp / "D_1.npz")
+    deploy = [p for p in os.listdir(exp) if p.endswith("_1e.npz")]
+    assert deploy, "deployable export missing"
+    assert os.path.exists(exp / "metrics.jsonl")
+
+    # resume picks up epoch 1
+    trainer2 = Trainer(cfg, dataclasses.replace(args, total_epochs=1))
+    trainer2.model_g = trainer.model_g
+    trainer2.model_d = trainer.model_d
+    trainer2.init_state()
+    assert trainer2.start_epoch == 2

@@ -63,3 +63,27 @@ def test_kmeans_recovers_separated_clusters():
     # every true center has a learned centroid within 0.5
     for c in centers:
         assert np.min(np.linalg.norm(cent - c, axis=1)) < 0.5
+
+
+def test_tiled_search_matches_dense():
+    from rvc_tpu.ops.retrieval import knn_search_tiled
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(9, 16)).astype(np.float32)
+    v = rng.normal(size=(1000, 16)).astype(np.float32)
+    d_ref, i_ref = knn_search(jnp.asarray(q), jnp.asarray(v), 8)
+    d, i = knn_search_tiled(jnp.asarray(q), jnp.asarray(v), 8, tile=128)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_tiled_search_non_divisible_tile():
+    from rvc_tpu.ops.retrieval import knn_search_tiled
+
+    rng = np.random.default_rng(8)
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    v = rng.normal(size=(333, 8)).astype(np.float32)
+    d_ref, i_ref = knn_search(jnp.asarray(q), jnp.asarray(v), 4)
+    d, i = knn_search_tiled(jnp.asarray(q), jnp.asarray(v), 4, tile=100)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
