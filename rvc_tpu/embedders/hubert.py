@@ -138,6 +138,16 @@ class TransformerLayer(nn.Module):
         )
 
 
+class _ScannedTransformerLayer(nn.Module):
+    """Scan-compatible wrapper: (carry, _) -> (carry, None)."""
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, h: jax.Array, _):
+        return TransformerLayer(self.cfg, name="layer")(h), None
+
+
 class FlaxHubert(nn.Module):
     cfg: HubertConfig = HubertConfig()
 
@@ -152,8 +162,16 @@ class FlaxHubert(nn.Module):
 
         h = h + ConvPositionalEmbedding(cfg, name="pos_conv_embed")(h)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
-        for i in range(cfg.num_layers):
-            h = TransformerLayer(cfg, name=f"layer_{i}")(h)
+        # the 12 uniform layers run as ONE scanned program: the compiled HLO
+        # holds a single layer body + a loop, cutting trace/compile time ~12x
+        # for this stack with identical math (params stacked on axis 0)
+        scan = nn.scan(
+            _ScannedTransformerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+        )
+        h, _ = scan(cfg, name="layers")(h, None)
         if cfg.final_proj_dim:
             h = nn.Dense(cfg.final_proj_dim, name="final_proj")(h)
         return h
@@ -241,9 +259,11 @@ def convert_torch_hubert(
         "bias": sd["encoder.layer_norm.bias"],
     }
 
+    # layers are scanned: params stack along a new leading axis
+    per_layer = []
     for i in range(cfg.num_layers):
         pre = f"encoder.layers.{i}"
-        p[f"layer_{i}"] = {
+        per_layer.append({
             "attention": _split_heads_attn(f"{pre}.attention", sd, cfg),
             "layer_norm": {
                 "scale": sd[f"{pre}.layer_norm.weight"],
@@ -261,7 +281,10 @@ def convert_torch_hubert(
                 "scale": sd[f"{pre}.final_layer_norm.weight"],
                 "bias": sd[f"{pre}.final_layer_norm.bias"],
             },
-        }
+        })
+    p["layers"] = {"layer": jax.tree.map(
+        lambda *xs: np.stack(xs, axis=0), *per_layer
+    )}
 
     if cfg.final_proj_dim and "final_proj.weight" in sd:
         p["final_proj"] = {

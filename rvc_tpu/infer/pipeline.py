@@ -108,6 +108,24 @@ class PipelineConfig:
     x_center: int = 60
     x_max: int = 65
 
+    @classmethod
+    def from_device(cls) -> "PipelineConfig":
+        """Pick the tier from accelerator memory (the reference probes CUDA
+        VRAM; here HBM via device.memory_stats). <=5 GB gets the reference's
+        low-memory windows (1/6/38/41)."""
+        gb = 16.0
+        try:
+            d = jax.devices()[0]
+            stats = d.memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+            if limit:
+                gb = limit / (1 << 30)
+        except Exception:
+            pass
+        if gb <= 5:
+            return cls(x_pad=1, x_query=6, x_center=38, x_max=41)
+        return cls()
+
 
 class Pipeline:
     """Host orchestrator around one jitted conversion graph."""

@@ -133,8 +133,41 @@ class LayerNorm(nn.Module):
         return nn.LayerNorm(epsilon=1e-5)(x)
 
 
+class _EncoderBlock(nn.Module):
+    """One (rel-pos attention + conv FFN) block for nn.scan."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    kernel_size: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, attn_mask, mask3 = carry
+        y = MultiHeadAttention(
+            self.hidden_channels,
+            self.hidden_channels,
+            self.n_heads,
+            window_size=self.window_size,
+            name="attn",
+        )(x, x, attn_mask)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + y)
+        y = FFN(
+            self.hidden_channels,
+            self.filter_channels,
+            self.kernel_size,
+            name="ffn",
+        )(x, mask3)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
+        return (x, attn_mask, mask3), None
+
+
 class Encoder(nn.Module):
-    """Stack of (rel-pos attention + conv FFN) with post-layernorm."""
+    """Stack of (rel-pos attention + conv FFN) with post-layernorm.
+
+    The uniform blocks run as one nn.scan program (params stacked on axis 0
+    under "blocks") — a 6x cut in traced/compiled graph size."""
 
     hidden_channels: int
     filter_channels: int
@@ -149,20 +182,18 @@ class Encoder(nn.Module):
         attn_mask = x_mask[:, None, None, :, 0] if x_mask.ndim == 3 else x_mask[:, None, None, :]
         mask3 = x_mask if x_mask.ndim == 3 else x_mask[..., None]
         x = x * mask3
-        for i in range(self.n_layers):
-            y = MultiHeadAttention(
-                self.hidden_channels,
-                self.hidden_channels,
-                self.n_heads,
-                window_size=self.window_size,
-                name=f"attn_{i}",
-            )(x, x, attn_mask)
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
-            y = FFN(
-                self.hidden_channels,
-                self.filter_channels,
-                self.kernel_size,
-                name=f"ffn_{i}",
-            )(x, mask3)
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
+        scan = nn.scan(
+            _EncoderBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.n_layers,
+        )
+        (x, _, _), _ = scan(
+            self.hidden_channels,
+            self.filter_channels,
+            self.n_heads,
+            self.kernel_size,
+            self.window_size,
+            name="blocks",
+        )((x, attn_mask, mask3), None)
         return x * mask3

@@ -197,6 +197,28 @@ class ConvTranspose1d(nn.Module):
         return y
 
 
+class _WaveNetLayer(nn.Module):
+    """One uniform WaveNet layer for nn.scan (dilation 1, 2H res+skip)."""
+
+    hidden_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, carry, g_i):
+        x, output, x_mask = carry
+        h = self.hidden_channels
+        x_in = Conv1d(
+            2 * h, self.kernel_size, use_weight_norm=True, name="in"
+        )(x)
+        if g_i is not None:
+            x_in = x_in + g_i
+        acts = fused_gate(x_in, h)
+        res_skip = Conv1d(2 * h, 1, use_weight_norm=True, name="res_skip")(acts)
+        x = (x + res_skip[..., :h]) * x_mask
+        output = output + res_skip[..., h:]
+        return (x, output, x_mask), None
+
+
 class WaveNet(nn.Module):
     """Non-causal WaveNet stack with gated activations and global conditioning.
 
@@ -204,6 +226,11 @@ class WaveNet(nn.Module):
     conv to 2H channels, fused tanh/sigmoid gate (+ per-layer slice of the
     conditioning projection), then a 1x1 producing residual+skip. All convs
     weight-normalized.
+
+    Compile-time design: with dilation_rate == 1 the first n-1 layers are
+    uniform, so they run as ONE nn.scan program (params stacked on axis 0
+    under "layers"); the final layer (skip-only, H channels) stays separate.
+    The rare dilation_rate > 1 case falls back to the unrolled loop.
     """
 
     hidden_channels: int
@@ -219,33 +246,60 @@ class WaveNet(nn.Module):
         h = self.hidden_channels
         output = jnp.zeros_like(x)
 
+        g_all = None
         if g is not None and self.gin_channels:
             # One fused 1x1 projection for all layers (2H * n_layers).
             g_all = Conv1d(
                 2 * h * self.n_layers, 1, use_weight_norm=True, name="cond_layer"
             )(g)
 
-        for i in range(self.n_layers):
-            dilation = self.dilation_rate**i
-            x_in = Conv1d(
-                2 * h,
-                self.kernel_size,
-                dilation=dilation,
-                use_weight_norm=True,
-                name=f"in_{i}",
-            )(x)
-            if g is not None and self.gin_channels:
-                x_in = x_in + g_all[..., i * 2 * h : (i + 1) * 2 * h]
-            acts = fused_gate(x_in, h)
-            out_ch = h if i == self.n_layers - 1 else 2 * h
-            res_skip = Conv1d(out_ch, 1, use_weight_norm=True, name=f"res_skip_{i}")(
-                acts
+        n_scan = self.n_layers - 1
+        if self.dilation_rate == 1 and n_scan > 0:
+            if g_all is not None:
+                b, t, _ = g_all.shape
+                g_scan = g_all[..., : n_scan * 2 * h]
+                g_scan = g_scan.reshape(b, t, n_scan, 2 * h)
+                g_scan = jnp.moveaxis(g_scan, 2, 0)  # [L-1, B, T, 2H]
+            else:
+                g_scan = None
+            scan = nn.scan(
+                _WaveNetLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=n_scan,
+                in_axes=0,
             )
-            if i < self.n_layers - 1:
+            (x, output, _), _ = scan(
+                self.hidden_channels, self.kernel_size, name="layers"
+            )((x, output, x_mask), g_scan)
+        else:
+            for i in range(n_scan):
+                dilation = self.dilation_rate**i
+                x_in = Conv1d(
+                    2 * h, self.kernel_size, dilation=dilation,
+                    use_weight_norm=True, name=f"in_{i}",
+                )(x)
+                if g_all is not None:
+                    x_in = x_in + g_all[..., i * 2 * h : (i + 1) * 2 * h]
+                acts = fused_gate(x_in, h)
+                res_skip = Conv1d(
+                    2 * h, 1, use_weight_norm=True, name=f"res_skip_{i}"
+                )(acts)
                 x = (x + res_skip[..., :h]) * x_mask
                 output = output + res_skip[..., h:]
-            else:
-                output = output + res_skip
+
+        # final layer: skip-only (reference modules.py last res_skip has H out)
+        i = self.n_layers - 1
+        dilation = self.dilation_rate**i
+        x_in = Conv1d(
+            2 * h, self.kernel_size, dilation=dilation,
+            use_weight_norm=True, name="in_final",
+        )(x)
+        if g_all is not None:
+            x_in = x_in + g_all[..., i * 2 * h : (i + 1) * 2 * h]
+        acts = fused_gate(x_in, h)
+        res_skip = Conv1d(h, 1, use_weight_norm=True, name="res_skip_final")(acts)
+        output = output + res_skip
         return output * x_mask
 
 

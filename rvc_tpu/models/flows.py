@@ -64,7 +64,11 @@ class ResidualCouplingLayer(nn.Module):
 
 
 class ResidualCouplingBlock(nn.Module):
-    """n_flows x (coupling -> channel flip); reverse runs mirrored."""
+    """n_flows x (coupling -> channel flip); reverse runs mirrored.
+
+    Kept unrolled: only 4 couplings, and nn.scan(reverse=True) does not
+    traverse the stacked parameter axis backwards, which the inverse pass
+    requires (each coupling's inner WaveNet is itself scanned)."""
 
     channels: int
     hidden_channels: int

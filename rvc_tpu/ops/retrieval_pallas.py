@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: streaming exact k-NN over an HBM-resident index.
+
+The retrieval hot path (ops/retrieval.py) computes `scores = q @ V^T` + top-k.
+For production-size indexes the lax.scan version already bounds memory; this
+kernel goes further: the index streams HBM -> VMEM tile by tile through the
+pallas grid pipeline (the compiler double-buffers block fetches), each tile's
+distances come off the MXU, and a running top-k lives in VMEM scratch across
+grid steps — one kernel launch, no [T, N] materialization, no intermediate
+HBM traffic.
+
+Falls back transparently off-TPU (interpret mode in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _knn_kernel(q_ref, v_ref, out_d_ref, out_i_ref, run_d, run_i, *, k, tile, n):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        run_d[:] = jnp.full_like(run_d, jnp.inf)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    q = q_ref[:]                       # [T, D]
+    v = v_ref[:]                       # [tile, D]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    v2 = jnp.sum(v * v, axis=1)[None, :]
+    cross = jnp.dot(q, v.T, preferred_element_type=jnp.float32)
+    d2 = q2 + v2 - 2.0 * cross         # [T, tile]
+
+    start = i * tile
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + start
+    # mask padded index rows (N not a multiple of tile)
+    d2 = jnp.where(col < n, d2, jnp.inf)
+
+    t = q.shape[0]
+    cand_d = jnp.concatenate([run_d[:], d2], axis=1)       # [T, k + tile]
+    cand_i = jnp.concatenate([run_i[:], col], axis=1)
+
+    # iterative k-extraction: k is tiny (8), each pass is a VPU row reduction
+    sel_pos = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
+    for j in range(k):
+        m = jnp.min(cand_d, axis=1, keepdims=True)          # [T, 1]
+        amin = jnp.argmin(cand_d, axis=1)[:, None]          # [T, 1]
+        run_d[:, j] = m[:, 0]
+        run_i[:, j] = jnp.take_along_axis(cand_i, amin, axis=1)[:, 0]
+        cand_d = jnp.where(sel_pos == amin, jnp.inf, cand_d)
+
+    @pl.when(i == n_tiles - 1)
+    def _emit():
+        out_d_ref[:] = jnp.maximum(run_d[:], 0.0)
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def knn_search_pallas(
+    queries: jax.Array,
+    vectors: jax.Array,
+    k: int = 8,
+    tile: int = 4096,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """queries [T, D], vectors [N, D] -> (distances [T, k], indices [T, k]),
+    squared L2 ascending, identical to ops.retrieval.knn_search."""
+    t, d = queries.shape
+    n = vectors.shape[0]
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+    if pad:
+        vectors = jnp.pad(vectors, ((0, pad), (0, 0)))
+
+    kernel = functools.partial(_knn_kernel, k=k, tile=tile, n=n)
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((t, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((t, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, k), jnp.float32),
+            jax.ShapeDtypeStruct((t, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t, k), jnp.float32),
+            pltpu.VMEM((t, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries.astype(jnp.float32), vectors.astype(jnp.float32))
+    return out_d, out_i

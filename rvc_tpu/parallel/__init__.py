@@ -1,6 +1,7 @@
 from .mesh import (
     batch_sharding,
     make_mesh,
+    make_mesh_for_batch,
     replicated_sharding,
     shard_batch,
     shard_train_step,
@@ -9,6 +10,7 @@ from .mesh import (
 __all__ = [
     "batch_sharding",
     "make_mesh",
+    "make_mesh_for_batch",
     "replicated_sharding",
     "shard_batch",
     "shard_train_step",

@@ -31,6 +31,19 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_for_batch(
+    batch_size: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """DP mesh over the largest device count that divides the batch size
+    (jit requires the sharded dimension to divide evenly)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DP_AXIS) -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -159,9 +159,9 @@ class Trainer:
             cfg, self.model_g, self.model_d, self.tx_g, self.tx_d, spe
         )
 
-        from ..parallel import make_mesh, shard_batch, shard_train_step
+        from ..parallel import make_mesh_for_batch, shard_batch, shard_train_step
 
-        self.mesh = make_mesh()
+        self.mesh = make_mesh_for_batch(cfg.train.batch_size)
         self.jstep = shard_train_step(self.step_fn, self.mesh)
         self._shard_batch = lambda b: shard_batch(
             {k: jnp.asarray(v) for k, v in b.items()}, self.mesh
@@ -286,21 +286,35 @@ class Trainer:
         d = self.cfg.data
         mel_l1s, mrstfts, sisdrs, pesqs = [], [], [], []
         infer = type(self.model_g).infer
+        if not hasattr(self, "_jit_infer"):
+            self._jit_infer = jax.jit(
+                lambda params, phone, lengths, pitch, pitchf, sid, rng:
+                self.model_g.apply(
+                    {"params": params}, phone, lengths, pitch, pitchf, sid,
+                    method=infer, rngs={"noise": rng},
+                )
+            )
         for i in range(min(len(self.val_ds), max_items)):
             ex = self.val_ds[i]
             n = int(ex["length"])
             if n < 16:
                 continue
-            phone = jnp.asarray(ex["phone"][None])
-            pitch = jnp.asarray(ex["pitch"][None])
-            pitchf = jnp.asarray(ex["pitchf"][None])
+            # pad to a 100-frame bucket so jit compiles a handful of shapes
+            n_pad = -(-n // 100) * 100
+            phone = np.zeros((1, n_pad, ex["phone"].shape[1]), np.float32)
+            phone[0, :n] = ex["phone"]
+            pitch = np.zeros((1, n_pad), np.int32)
+            pitch[0, :n] = ex["pitch"]
+            pitchf = np.zeros((1, n_pad), np.float32)
+            pitchf[0, :n] = ex["pitchf"]
+            phone = jnp.asarray(phone)
+            pitch = jnp.asarray(pitch)
+            pitchf = jnp.asarray(pitchf)
             lengths = jnp.asarray([n], jnp.int32)
             sid = jnp.asarray([int(ex["sid"])], jnp.int32)
             rng, sub = jax.random.split(rng)
-            audio, _ = self.model_g.apply(
-                {"params": self.state.params_g},
-                phone, lengths, pitch, pitchf, sid,
-                method=infer, rngs={"noise": sub},
+            audio, _ = self._jit_infer(
+                self.state.params_g, phone, lengths, pitch, pitchf, sid, sub
             )
             y_hat = np.asarray(audio[0, :, 0])
             y_ref = ex["wave"][: len(y_hat)]

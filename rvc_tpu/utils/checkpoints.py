@@ -99,13 +99,26 @@ def layer_norm(sd, prefix) -> Dict[str, np.ndarray]:
 
 
 def wavenet(sd, prefix, n_layers, has_cond=True) -> Dict[str, Any]:
-    """torch WaveNet (modules.py:5-109): in_layers/res_skip_layers/cond_layer."""
+    """torch WaveNet (modules.py:5-109): in_layers/res_skip_layers/cond_layer.
+
+    Our WaveNet scans the first n-1 uniform layers (params stacked on a new
+    leading axis under "layers") and keeps the final skip-only layer separate
+    — mirrors models.commons.WaveNet's parameter structure."""
     p: Dict[str, Any] = {}
     if has_cond and f"{prefix}.cond_layer.weight_v" in sd:
         p["cond_layer"] = conv1d(sd, f"{prefix}.cond_layer", weight_norm=True)
-    for i in range(n_layers):
-        p[f"in_{i}"] = conv1d(sd, f"{prefix}.in_layers.{i}", weight_norm=True)
-        p[f"res_skip_{i}"] = conv1d(sd, f"{prefix}.res_skip_layers.{i}", weight_norm=True)
+    per_layer = [
+        {
+            "in": conv1d(sd, f"{prefix}.in_layers.{i}", weight_norm=True),
+            "res_skip": conv1d(sd, f"{prefix}.res_skip_layers.{i}", weight_norm=True),
+        }
+        for i in range(n_layers - 1)
+    ]
+    if per_layer:
+        p["layers"] = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *per_layer)
+    i = n_layers - 1
+    p["in_final"] = conv1d(sd, f"{prefix}.in_layers.{i}", weight_norm=True)
+    p["res_skip_final"] = conv1d(sd, f"{prefix}.res_skip_layers.{i}", weight_norm=True)
     return p
 
 
@@ -114,27 +127,33 @@ def wavenet(sd, prefix, n_layers, has_cond=True) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def _stack(per_layer):
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *per_layer)
+
+
 def _convert_text_encoder(sd, n_layers: int, use_f0: bool) -> Dict[str, Any]:
-    enc: Dict[str, Any] = {}
+    blocks = []
     for i in range(n_layers):
         a = f"enc_p.encoder.attn_layers.{i}"
-        enc[f"attn_{i}"] = {
-            "conv_q": conv1d(sd, f"{a}.conv_q"),
-            "conv_k": conv1d(sd, f"{a}.conv_k"),
-            "conv_v": conv1d(sd, f"{a}.conv_v"),
-            "conv_o": conv1d(sd, f"{a}.conv_o"),
-            "emb_rel_k": _np(sd[f"{a}.emb_rel_k"]),
-            "emb_rel_v": _np(sd[f"{a}.emb_rel_v"]),
-        }
-        enc[f"norm1_{i}"] = layer_norm(sd, f"enc_p.encoder.norm_layers_1.{i}")
-        enc[f"ffn_{i}"] = {
-            "conv_1": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_1"),
-            "conv_2": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_2"),
-        }
-        enc[f"norm2_{i}"] = layer_norm(sd, f"enc_p.encoder.norm_layers_2.{i}")
+        blocks.append({
+            "attn": {
+                "conv_q": conv1d(sd, f"{a}.conv_q"),
+                "conv_k": conv1d(sd, f"{a}.conv_k"),
+                "conv_v": conv1d(sd, f"{a}.conv_v"),
+                "conv_o": conv1d(sd, f"{a}.conv_o"),
+                "emb_rel_k": _np(sd[f"{a}.emb_rel_k"]),
+                "emb_rel_v": _np(sd[f"{a}.emb_rel_v"]),
+            },
+            "norm1": layer_norm(sd, f"enc_p.encoder.norm_layers_1.{i}"),
+            "ffn": {
+                "conv_1": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_1"),
+                "conv_2": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_2"),
+            },
+            "norm2": layer_norm(sd, f"enc_p.encoder.norm_layers_2.{i}"),
+        })
     p = {
         "emb_phone": dense(sd, "enc_p.emb_phone"),
-        "encoder": enc,
+        "encoder": {"blocks": _stack(blocks)},  # scanned stack
         "proj": conv1d(sd, "enc_p.proj"),
     }
     if use_f0 and "enc_p.emb_pitch.weight" in sd:

@@ -6,8 +6,11 @@ on v5e-8; here we measure a single chip).
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -51,11 +54,17 @@ def main(batch_size: int = 8, frames: int = 400, n_steps: int = 10) -> None:
 
     tx_g = make_optimizer("adamw", 1e-4)
     tx_d = make_optimizer("adamw", 1e-4)
-    print("initializing...", flush=True)
+    print("initializing (jitted)...", flush=True)
     t0 = time.time()
-    state = create_train_state(
-        jax.random.PRNGKey(0), cfg, model_g, model_d, tx_g, tx_d, batch
+    # one compiled program instead of eager per-op dispatch through the
+    # device tunnel
+    init_fn = jax.jit(
+        lambda rng, batch: create_train_state(
+            rng, cfg, model_g, model_d, tx_g, tx_d, batch
+        )
     )
+    state = init_fn(jax.random.PRNGKey(0), batch)
+    jax.block_until_ready(state.params_g)
     print(f"init {time.time()-t0:.1f}s", flush=True)
 
     step = jax.jit(
