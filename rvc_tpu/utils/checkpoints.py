@@ -98,12 +98,18 @@ def layer_norm(sd, prefix) -> Dict[str, np.ndarray]:
     return {"scale": _np(sd[f"{prefix}.gamma"]), "bias": _np(sd[f"{prefix}.beta"])}
 
 
-def wavenet(sd, prefix, n_layers, has_cond=True) -> Dict[str, Any]:
+def wavenet(sd, prefix, n_layers=None, has_cond=True) -> Dict[str, Any]:
     """torch WaveNet (modules.py:5-109): in_layers/res_skip_layers/cond_layer.
 
     Our WaveNet scans the first n-1 uniform layers (params stacked on a new
     leading axis under "layers") and keeps the final skip-only layer separate
-    — mirrors models.commons.WaveNet's parameter structure."""
+    — mirrors models.commons.WaveNet's parameter structure. n_layers is
+    auto-detected from the key set when not given."""
+    if n_layers is None:
+        n_layers = 0
+        while (f"{prefix}.in_layers.{n_layers}.weight_v" in sd
+               or f"{prefix}.in_layers.{n_layers}.weight" in sd):
+            n_layers += 1
     p: Dict[str, Any] = {}
     if has_cond and f"{prefix}.cond_layer.weight_v" in sd:
         p["cond_layer"] = conv1d(sd, f"{prefix}.cond_layer", weight_norm=True)
@@ -131,7 +137,11 @@ def _stack(per_layer):
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *per_layer)
 
 
-def _convert_text_encoder(sd, n_layers: int, use_f0: bool) -> Dict[str, Any]:
+def _convert_text_encoder(sd, n_layers=None, use_f0: bool = True) -> Dict[str, Any]:
+    if n_layers is None:
+        n_layers = 0
+        while f"enc_p.encoder.attn_layers.{n_layers}.conv_q.weight" in sd:
+            n_layers += 1
     blocks = []
     for i in range(n_layers):
         a = f"enc_p.encoder.attn_layers.{i}"
@@ -161,22 +171,22 @@ def _convert_text_encoder(sd, n_layers: int, use_f0: bool) -> Dict[str, Any]:
     return p
 
 
-def _convert_flow(sd, n_flows: int = 4, n_layers: int = 3) -> Dict[str, Any]:
+def _convert_flow(sd, n_flows: int = 4) -> Dict[str, Any]:
     p: Dict[str, Any] = {}
     for i in range(n_flows):
         t = f"flow.flows.{i * 2}"  # odd entries are parameterless Flips
         p[f"coupling_{i}"] = {
             "pre": conv1d(sd, f"{t}.pre"),
-            "enc": wavenet(sd, f"{t}.enc", n_layers),
+            "enc": wavenet(sd, f"{t}.enc"),
             "post": conv1d(sd, f"{t}.post"),
         }
     return p
 
 
-def _convert_posterior(sd, n_layers: int = 16) -> Dict[str, Any]:
+def _convert_posterior(sd) -> Dict[str, Any]:
     return {
         "pre": conv1d(sd, "enc_q.pre"),
-        "enc": wavenet(sd, "enc_q.enc", n_layers),
+        "enc": wavenet(sd, "enc_q.enc"),
         "proj": conv1d(sd, "enc_q.proj"),
     }
 
@@ -213,25 +223,94 @@ def _convert_nsf_decoder(
     return p
 
 
+def _convert_mrf_decoder(sd, n_ups: int, num_kernels: int) -> Dict[str, Any]:
+    """HiFiGANMRFGenerator (hifigan_mrf.py:223-374) -> models/generators/mrf.py
+    naming: conv_pre/ups_i/noise_convs_i/mrf_i_j(layer_k: conv1+conv2)/
+    conv_post/cond/m_source."""
+    p: Dict[str, Any] = {
+        "conv_pre": conv1d(sd, "dec.conv_pre", weight_norm=True),
+        "conv_post": conv1d(sd, "dec.conv_post", weight_norm=True),
+        "m_source": {"l_linear": dense(sd, "dec.m_source.l_linear")},
+    }
+    if "dec.cond.weight" in sd:
+        p["cond"] = conv1d(sd, "dec.cond")
+    for i in range(n_ups):
+        p[f"ups_{i}"] = conv_transpose1d(sd, f"dec.upsamples.{i}", weight_norm=True)
+        p[f"noise_convs_{i}"] = conv1d(sd, f"dec.noise_convs.{i}")
+        for j in range(num_kernels):
+            block: Dict[str, Any] = {}
+            k = 0
+            while f"dec.mrfs.{i}.{j}.layers.{k}.conv1.weight_v" in sd:
+                block[f"layer_{k}"] = {
+                    "conv1": conv1d(sd, f"dec.mrfs.{i}.{j}.layers.{k}.conv1",
+                                    weight_norm=True),
+                    "conv2": conv1d(sd, f"dec.mrfs.{i}.{j}.layers.{k}.conv2",
+                                    weight_norm=True),
+                }
+                k += 1
+            p[f"mrf_{i}_{j}"] = block
+    return p
+
+
+def _convert_refinegan_decoder(sd, n_ups: int) -> Dict[str, Any]:
+    """RefineGANGenerator (refinegan.py:266-416) -> models/generators/
+    refinegan.py naming."""
+    p: Dict[str, Any] = {
+        "pre_conv": conv1d(sd, "dec.pre_conv", weight_norm=True),
+        "mel_conv": conv1d(sd, "dec.mel_conv", weight_norm=True),
+        "conv_post": conv1d(sd, "dec.conv_post", weight_norm=True, bias=False),
+        "m_source": {"merge": {"kernel": _np(sd["dec.m_source.merge.0.weight"]).T}},
+    }
+    if "dec.cond.weight" in sd:
+        p["cond"] = conv1d(sd, "dec.cond")
+    for i in range(n_ups):
+        p[f"downsample_{i}"] = conv1d(
+            sd, f"dec.downsample_blocks.{i}", weight_norm=True
+        )
+        blk: Dict[str, Any] = {
+            "input_conv": conv1d(sd, f"dec.upsample_conv_blocks.{i}.input_conv"),
+        }
+        for b in range(3):  # kernel sizes (3, 7, 11)
+            base = f"dec.upsample_conv_blocks.{i}.blocks.{b}"
+            blk[f"adain1_{b}"] = {"weight": _np(sd[f"{base}.0.weight"])}
+            blk[f"adain2_{b}"] = {"weight": _np(sd[f"{base}.2.weight"])}
+            rb: Dict[str, Any] = {}
+            c = 0
+            while f"{base}.1.convs1.{c}.weight_v" in sd:
+                rb[f"conv1_{c}"] = conv1d(sd, f"{base}.1.convs1.{c}", weight_norm=True)
+                rb[f"conv2_{c}"] = conv1d(sd, f"{base}.1.convs2.{c}", weight_norm=True)
+                c += 1
+            blk[f"resblock_{b}"] = rb
+        p[f"upsample_conv_{i}"] = blk
+    return p
+
+
 def convert_torch_synthesizer(
     state_dict: Dict[str, Any],
-    n_enc_layers: int = 6,
+    n_enc_layers: Optional[int] = None,
     n_ups: int = 4,
     num_kernels: int = 3,
     use_f0: bool = True,
-    has_enc_q: bool = False,
+    has_enc_q: bool = True,
+    vocoder: str = "HiFi-GAN",
 ) -> Dict[str, Any]:
     """Torch Synthesizer state_dict -> flax params for models.Synthesizer
-    (NSF-HiFi-GAN decoder; deployable ckpts have enc_q stripped,
-    extract_model.py:60-66)."""
+    (decoder conversion keyed by the checkpoint's vocoder field; deployable
+    ckpts have enc_q stripped, extract_model.py:60-66)."""
     sd = normalize_weight_norm_keys(
         {k: _np(v) for k, v in state_dict.items()}
     )
+    if vocoder == "MRF HiFi-GAN" or "dec.mrfs.0.0.layers.0.conv1.weight_v" in sd:
+        dec = _convert_mrf_decoder(sd, n_ups, num_kernels)
+    elif vocoder == "RefineGAN" or "dec.mel_conv.weight_v" in sd:
+        dec = _convert_refinegan_decoder(sd, n_ups)
+    else:
+        dec = _convert_nsf_decoder(sd, n_ups, num_kernels)
     params: Dict[str, Any] = {
         "enc_p": _convert_text_encoder(sd, n_enc_layers, use_f0),
         "flow": _convert_flow(sd),
         "emb_g": embed(sd, "emb_g"),
-        "dec": _convert_nsf_decoder(sd, n_ups, num_kernels),
+        "dec": dec,
     }
     if has_enc_q and "enc_q.pre.weight" in sd:
         params["enc_q"] = _convert_posterior(sd)
@@ -256,7 +335,9 @@ def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     }
     cfg_list = meta.get("config") or []
     n_ups = len(cfg_list[10]) if len(cfg_list) > 10 and isinstance(cfg_list[10], (list, tuple)) else 4
-    params = convert_torch_synthesizer(weights, n_ups=n_ups)
+    params = convert_torch_synthesizer(
+        weights, n_ups=n_ups, vocoder=meta.get("vocoder") or "HiFi-GAN"
+    )
     return params, meta
 
 

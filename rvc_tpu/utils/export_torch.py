@@ -1,0 +1,186 @@
+"""Export our flax Synthesizer weights to a reference-compatible .pth.
+
+The inverse of utils.checkpoints.convert_torch_synthesizer: users can take a
+model trained here and load it in the reference (or any RVC fork) — the same
+deployable format extract_model.py writes (weights under "model", config
+list + metadata fields). Covers the NSF-HiFi-GAN decoder (the reference's
+default and pretrained format).
+
+Also serves as a round-trip test oracle for the importer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _np(v) -> np.ndarray:
+    return np.asarray(v)
+
+
+def _conv1d_out(sd, prefix, p, weight_norm=False):
+    kernel = _np(p["kernel"])  # [K, in, out]
+    if weight_norm and "g" in p:
+        sd[f"{prefix}.weight_g"] = _np(p["g"]).reshape(-1, 1, 1)
+        sd[f"{prefix}.weight_v"] = np.transpose(kernel, (2, 1, 0))
+    else:
+        sd[f"{prefix}.weight"] = np.transpose(kernel, (2, 1, 0))
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _conv_transpose1d_out(sd, prefix, p):
+    kernel = _np(p["kernel"])  # [K, in, out]
+    sd[f"{prefix}.weight_g"] = _np(p["g"]).reshape(-1, 1, 1)
+    sd[f"{prefix}.weight_v"] = np.transpose(kernel, (1, 2, 0))  # [in, out, K]
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _dense_out(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _np(p["kernel"]).T
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _ln_out(sd, prefix, p):
+    sd[f"{prefix}.gamma"] = _np(p["scale"])
+    sd[f"{prefix}.beta"] = _np(p["bias"])
+
+
+def _wavenet_out(sd, prefix, p, n_layers):
+    if "cond_layer" in p:
+        _conv1d_out(sd, f"{prefix}.cond_layer", p["cond_layer"], weight_norm=True)
+    stacked = p.get("layers", {})
+    for i in range(n_layers - 1):
+        layer = {k: np.asarray(v)[i] for k, v in _flatten_one(stacked).items()}
+        _conv1d_out(sd, f"{prefix}.in_layers.{i}",
+                    _unflatten_one(layer, "in"), weight_norm=True)
+        _conv1d_out(sd, f"{prefix}.res_skip_layers.{i}",
+                    _unflatten_one(layer, "res_skip"), weight_norm=True)
+    i = n_layers - 1
+    _conv1d_out(sd, f"{prefix}.in_layers.{i}", p["in_final"], weight_norm=True)
+    _conv1d_out(sd, f"{prefix}.res_skip_layers.{i}", p["res_skip_final"],
+                weight_norm=True)
+
+
+def _flatten_one(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten_one(v, f"{prefix}{k}/"))
+        else:
+            out[f"{prefix}{k}"] = v
+    return out
+
+
+def _unflatten_one(flat, root):
+    out = {}
+    for k, v in flat.items():
+        if k.startswith(f"{root}/"):
+            out[k[len(root) + 1 :]] = v
+    return out
+
+
+def synthesizer_to_torch_state_dict(
+    params: Dict[str, Any],
+    n_enc_layers: int = 6,
+    wn_layers_posterior: int = 16,
+    wn_layers_flow: int = 3,
+) -> Dict[str, np.ndarray]:
+    """flax Synthesizer params -> torch-style state dict (NSF decoder)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    # text encoder (scanned blocks -> per-layer keys)
+    enc = params["enc_p"]
+    _dense_out(sd, "enc_p.emb_phone", enc["emb_phone"])
+    if "emb_pitch" in enc:
+        sd["enc_p.emb_pitch.weight"] = _np(enc["emb_pitch"]["embedding"])
+    blocks = _flatten_one(enc["encoder"]["blocks"])
+    for i in range(n_enc_layers):
+        layer = {k: np.asarray(v)[i] for k, v in blocks.items()}
+        a = f"enc_p.encoder.attn_layers.{i}"
+        _conv1d_out(sd, f"{a}.conv_q", _unflatten_one(layer, "attn/conv_q"))
+        _conv1d_out(sd, f"{a}.conv_k", _unflatten_one(layer, "attn/conv_k"))
+        _conv1d_out(sd, f"{a}.conv_v", _unflatten_one(layer, "attn/conv_v"))
+        _conv1d_out(sd, f"{a}.conv_o", _unflatten_one(layer, "attn/conv_o"))
+        sd[f"{a}.emb_rel_k"] = layer["attn/emb_rel_k"]
+        sd[f"{a}.emb_rel_v"] = layer["attn/emb_rel_v"]
+        sd[f"enc_p.encoder.norm_layers_1.{i}.gamma"] = layer["norm1/scale"]
+        sd[f"enc_p.encoder.norm_layers_1.{i}.beta"] = layer["norm1/bias"]
+        _conv1d_out(sd, f"enc_p.encoder.ffn_layers.{i}.conv_1",
+                    _unflatten_one(layer, "ffn/conv_1"))
+        _conv1d_out(sd, f"enc_p.encoder.ffn_layers.{i}.conv_2",
+                    _unflatten_one(layer, "ffn/conv_2"))
+        sd[f"enc_p.encoder.norm_layers_2.{i}.gamma"] = layer["norm2/scale"]
+        sd[f"enc_p.encoder.norm_layers_2.{i}.beta"] = layer["norm2/bias"]
+    _conv1d_out(sd, "enc_p.proj", enc["proj"])
+
+    # flow
+    for i in range(4):
+        c = params["flow"][f"coupling_{i}"]
+        t = f"flow.flows.{i * 2}"
+        _conv1d_out(sd, f"{t}.pre", c["pre"])
+        _wavenet_out(sd, f"{t}.enc", c["enc"], wn_layers_flow)
+        _conv1d_out(sd, f"{t}.post", c["post"])
+
+    # posterior (full checkpoints only)
+    if "enc_q" in params:
+        _conv1d_out(sd, "enc_q.pre", params["enc_q"]["pre"])
+        _wavenet_out(sd, "enc_q.enc", params["enc_q"]["enc"], wn_layers_posterior)
+        _conv1d_out(sd, "enc_q.proj", params["enc_q"]["proj"])
+
+    # NSF decoder
+    dec = params["dec"]
+    _conv1d_out(sd, "dec.conv_pre", dec["conv_pre"])
+    _conv1d_out(sd, "dec.conv_post", dec["conv_post"])
+    _dense_out(sd, "dec.m_source.l_linear", dec["m_source"]["l_linear"])
+    if "cond" in dec:
+        _conv1d_out(sd, "dec.cond", dec["cond"])
+    n_ups = sum(1 for k in dec if k.startswith("ups_"))
+    num_kernels = sum(1 for k in dec if k.startswith("resblock_0_"))
+    for i in range(n_ups):
+        _conv_transpose1d_out(sd, f"dec.ups.{i}", dec[f"ups_{i}"])
+        _conv1d_out(sd, f"dec.noise_convs.{i}", dec[f"noise_convs_{i}"])
+        for j in range(num_kernels):
+            rb = dec[f"resblock_{i}_{j}"]
+            flat = i * num_kernels + j
+            c = 0
+            while f"conv1_{c}" in rb:
+                _conv1d_out(sd, f"dec.resblocks.{flat}.convs1.{c}",
+                            rb[f"conv1_{c}"], weight_norm=True)
+                _conv1d_out(sd, f"dec.resblocks.{flat}.convs2.{c}",
+                            rb[f"conv2_{c}"], weight_norm=True)
+                c += 1
+
+    sd["emb_g.weight"] = _np(params["emb_g"]["embedding"])
+    return sd
+
+
+def export_rvc_pth(
+    params: Dict[str, Any],
+    path: str,
+    sr: int = 48000,
+    vocoder: str = "HiFi-GAN",
+    metadata: Optional[Dict[str, Any]] = None,
+    **kw,
+) -> str:
+    """Write a reference-loadable deployable .pth (fp16 weights like
+    extract_model.py:56-106)."""
+    import torch
+
+    sd = synthesizer_to_torch_state_dict(params, **kw)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)).half()
+               for k, v in sd.items()}
+    cpt = {
+        "model": tensors,
+        "sr": sr,
+        "f0": 1,
+        "version": "v2",
+        "vocoder": vocoder,
+        **(metadata or {}),
+    }
+    torch.save(cpt, path)
+    return path
