@@ -173,6 +173,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_balancer", type=_bool, default=False)
     p.add_argument("--use_wgan_gp_loss", type=_bool, default=False)
     p.add_argument("--bf16_run", type=_bool, default=True)
+    p.add_argument("--checkpointing", type=_bool, default=False)
     p.add_argument("--index_algorithm", type=str, default="Auto")
 
     p = sub.add_parser("index", help="Build the retrieval index")
@@ -287,6 +288,7 @@ def main(argv=None) -> int:
                 use_balancer=args.use_balancer,
                 use_wgan=args.use_wgan_gp_loss,
                 bf16_run=args.bf16_run,
+                use_checkpointing=args.checkpointing,
                 warmup_epochs=args.warmup_duration if args.use_warmup else 0,
             ),
         )

@@ -80,6 +80,7 @@ class TrainConfig:
     use_balancer: bool = False
     warmup_epochs: int = 0
     grad_clip_norm: float = 999999.0   # effectively only a probe, like reference
+    use_checkpointing: bool = False    # remat the generator forward (memory)
 
 
 @dataclass(frozen=True)

@@ -46,14 +46,17 @@ def _knn_kernel(q_ref, v_ref, out_d_ref, out_i_ref, run_d, run_i, *, k, tile, n)
     cand_d = jnp.concatenate([run_d[:], d2], axis=1)       # [T, k + tile]
     cand_i = jnp.concatenate([run_i[:], col], axis=1)
 
-    # iterative k-extraction: k is tiny (8), each pass is a VPU row reduction
+    # iterative k-extraction: k is tiny (8), each pass is a VPU row reduction.
+    # selection via one-hot masks (argmin is unique per row) — Mosaic has no
+    # general gather, so no take_along_axis here.
     sel_pos = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
     for j in range(k):
         m = jnp.min(cand_d, axis=1, keepdims=True)          # [T, 1]
         amin = jnp.argmin(cand_d, axis=1)[:, None]          # [T, 1]
+        onehot = sel_pos == amin
         run_d[:, j] = m[:, 0]
-        run_i[:, j] = jnp.take_along_axis(cand_i, amin, axis=1)[:, 0]
-        cand_d = jnp.where(sel_pos == amin, jnp.inf, cand_d)
+        run_i[:, j] = jnp.sum(jnp.where(onehot, cand_i, 0), axis=1)
+        cand_d = jnp.where(onehot, jnp.inf, cand_d)
 
     @pl.when(i == n_tiles - 1)
     def _emit():
@@ -70,9 +73,15 @@ def knn_search_pallas(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """queries [T, D], vectors [N, D] -> (distances [T, k], indices [T, k]),
-    squared L2 ascending, identical to ops.retrieval.knn_search."""
+    squared L2 ascending, identical to ops.retrieval.knn_search.
+
+    The candidate width (k + tile) must be lane-aligned for Mosaic; the tile
+    is shrunk to the nearest value making k + tile a multiple of 128."""
     t, d = queries.shape
     n = vectors.shape[0]
+    over = (k + tile) % 128
+    if over:
+        tile = max(128 - k, tile - over)
     n_tiles = -(-n // tile)
     pad = n_tiles * tile - n
     if pad:

@@ -154,6 +154,12 @@ def make_train_step(
             p = _to_bf16(pg) if use_bf16 else pg
             return g_forward(p, fwd_batch, ids_slice, {"noise": rng_noise})
 
+        if t.use_checkpointing:
+            # rematerialize generator activations in the backward pass
+            # (replaces the reference's per-module checkpointing flags,
+            # hifigan_nsf.py:188-194)
+            fwd = jax.checkpoint(fwd)
+
         outputs, g_vjp = jax.vjp(fwd, state.params_g)
         y_hat, z, z_p, m_p, logs_p, m_q, logs_q, y_mask = outputs
 

@@ -61,3 +61,28 @@ def run_tts(text: str, voice: str, rate: int, output_path: str) -> str:
         print("edge-tts unavailable (no network?); using offline fallback TTS")
         _fallback_tts(text, output_path)
         return output_path
+
+
+# A curated subset of edge-tts neural voices (reference ships the full list
+# as assets/tts_voices.json, used by the TTS tab's voice picker).
+COMMON_VOICES = [
+    "en-US-AriaNeural", "en-US-GuyNeural", "en-US-JennyNeural",
+    "en-GB-SoniaNeural", "en-GB-RyanNeural", "en-AU-NatashaNeural",
+    "es-ES-ElviraNeural", "es-MX-DaliaNeural", "fr-FR-DeniseNeural",
+    "de-DE-KatjaNeural", "it-IT-ElsaNeural", "pt-BR-FranciscaNeural",
+    "ja-JP-NanamiNeural", "ko-KR-SunHiNeural", "zh-CN-XiaoxiaoNeural",
+    "ru-RU-SvetlanaNeural", "hi-IN-SwaraNeural", "ar-SA-ZariyahNeural",
+]
+
+
+def list_voices() -> list:
+    """Full voice list via edge-tts when available, else the curated subset."""
+    try:
+        import asyncio
+
+        import edge_tts
+
+        voices = asyncio.run(edge_tts.list_voices())
+        return sorted(v["ShortName"] for v in voices)
+    except Exception:
+        return list(COMMON_VOICES)
