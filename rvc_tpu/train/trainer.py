@@ -385,11 +385,50 @@ class Trainer:
         write_wav(out, np.asarray(audio[0, :, 0]), self.cfg.data.sample_rate)
         return out
 
+    def _write_heartbeat(self, epoch: int) -> None:
+        """Liveness probe for external monitors (the reference only exposes
+        child PIDs in config.json, train.py:343-370; this gives step/epoch/
+        timestamp so a supervisor can detect stalls, not just death)."""
+        hb = {
+            "epoch": epoch,
+            "step": int(self.state.step) if self.state is not None else 0,
+            "time": time.time(),
+            "process_index": jax.process_index(),
+        }
+        try:
+            with open(os.path.join(self.args.exp_dir, "heartbeat.json"), "w") as f:
+                json.dump(hb, f)
+        except OSError:
+            pass
+
     def fit(self) -> None:
         if self.state is None:
             self.init_state()
+
+        # emergency checkpoint on SIGTERM/SIGINT (reference just closes the
+        # TB writer and dies, train.py:231-241 — resumable only from the last
+        # save epoch; we save exactly where we stopped)
+        import signal
+
+        interrupted = {"flag": False}
+
+        def _handler(signum, frame):
+            interrupted["flag"] = True
+            print(f"signal {signum}: finishing epoch then checkpointing...")
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _handler)
+            except ValueError:
+                pass  # not the main thread
+
         rng = jax.random.PRNGKey(self.args.seed + jax.process_index())
         for epoch in range(self.start_epoch, self.args.total_epochs + 1):
+            if interrupted["flag"]:
+                self.save(epoch - 1)
+                print(f"emergency checkpoint at epoch {epoch - 1}; exiting")
+                break
             rng, erng, vrng, rrng = jax.random.split(rng, 4)
             stats = self.train_epoch(epoch, erng)
             print(
@@ -398,6 +437,7 @@ class Trainer:
                 f"| g={stats.get('avg/loss_gen_all', float('nan')):.3f} "
                 f"| d={stats.get('avg/loss_disc', float('nan')):.3f}"
             )
+            self._write_heartbeat(epoch)
             if epoch % self.args.save_every_epoch == 0 or epoch == self.args.total_epochs:
                 self.validate(vrng)
                 try:
@@ -406,6 +446,8 @@ class Trainer:
                     print(f"reference render skipped ({e})")
                 self.save(epoch)
                 self.logger.flush()
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
 
 
 def _opt_state_arrays(opt_state) -> Dict[str, Any]:
