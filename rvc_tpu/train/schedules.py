@@ -28,13 +28,13 @@ def make_epoch_lr_schedule(
     def schedule(step):
         import jax.numpy as jnp
 
-        epoch = step // spe  # 0-based epoch index
+        epoch = jnp.asarray(step) // spe  # 0-based epoch index
         if warmup_epochs > 0:
             warm = jnp.minimum((epoch + 1) / warmup_epochs, 1.0)
             decay_epochs = jnp.maximum(epoch + 1 - warmup_epochs, 0)
         else:
             warm = 1.0
             decay_epochs = epoch
-        return base_lr * warm * (gamma ** decay_epochs.astype("float32"))
+        return base_lr * warm * (gamma ** decay_epochs.astype(jnp.float32))
 
     return schedule
