@@ -152,9 +152,16 @@ class VoiceConverter:
         return out_path
 
     def convert_audio_batch(
-        self, audio_input_paths: str, audio_output_path: str, **kwargs
+        self,
+        audio_input_paths: str,
+        audio_output_path: str,
+        batch_pack: bool = True,
+        device_batch: int = 8,
+        **kwargs,
     ) -> None:
-        """Folder batch mode (infer.py:350-414)."""
+        """Folder batch mode (infer.py:350-414 loops serially; here short
+        files PACK into device batches of `device_batch` through one jitted
+        graph — long files fall back to the windowed serial path)."""
         exts = (".wav", ".mp3", ".flac", ".ogg", ".m4a")
         files = [
             os.path.join(audio_input_paths, f)
@@ -162,12 +169,94 @@ class VoiceConverter:
             if f.lower().endswith(exts)
         ]
         os.makedirs(audio_output_path, exist_ok=True)
-        for f in files:
+
+        def out_path(f):
             base = os.path.splitext(os.path.basename(f))[0]
-            out = os.path.join(audio_output_path, f"{base}_output.wav")
-            if os.path.exists(out):
-                continue
-            self.convert_audio(f, out, **kwargs)
+            return os.path.join(audio_output_path, f"{base}_output.wav")
+
+        todo = [f for f in files if not os.path.exists(out_path(f))]
+        if not batch_pack:
+            for f in todo:
+                self.convert_audio(f, out_path(f), **kwargs)
+            return
+
+        model_path = kwargs.get("model_path")
+        self.get_vc(model_path, kwargs.get("embedder_model", "contentvec"),
+                    kwargs.get("embedder_model_custom"))
+        pipe = self.pipeline
+        short, long_files = [], []
+        max_len = pipe.t_max
+        for f in todo:
+            audio = load_audio(f, 16000)
+            peak = np.abs(audio).max() / 0.95
+            if peak > 1.0:
+                audio = audio / peak
+            (short if len(audio) + 2 * pipe.t_pad <= max_len else long_files).append(
+                (f, audio)
+            )
+
+        import jax as _jax
+
+        rng = _jax.random.PRNGKey(0)
+        index_vectors = None
+        index_path = kwargs.get("index_path", "")
+        index_rate = kwargs.get("index_rate", 0.0)
+        if index_path and os.path.exists(index_path) and index_rate > 0:
+            import jax.numpy as jnp
+
+            index_vectors = jnp.asarray(
+                FeatureIndex.load(index_path).vectors, jnp.float32
+            )
+
+        f0_method = kwargs.get("f0_method", "yin")
+        pitch_shift = kwargs.get("pitch", 0)
+        sid = kwargs.get("sid", 0)
+        protect = kwargs.get("protect", 0.5)
+        volume_envelope = kwargs.get("volume_envelope", 1.0)
+
+        # group short files; one device batch per group
+        for i in range(0, len(short), device_batch):
+            group = short[i : i + device_batch]
+            segs, pitches, pitchfs, sids, names = [], [], [], [], []
+            for f, audio in group:
+                audio_hp = pipe._highpass(audio)
+                audio_pad = np.pad(
+                    audio_hp, (pipe.t_pad, pipe.t_pad), mode="reflect"
+                )
+                p_len = audio_pad.shape[0] // 160
+                if self.use_f0:
+                    pc, pf = pipe.get_f0(
+                        audio_pad, p_len, pitch_shift, f0_method,
+                        kwargs.get("predictors"),
+                    )
+                else:
+                    pc = pf = None
+                segs.append(audio_pad)
+                pitches.append(pc)
+                pitchfs.append(pf)
+                sids.append(sid)
+                names.append((f, audio))
+            rng, sub = _jax.random.split(rng)
+            outs = pipe.convert_segments_batch(
+                segs, pitches, pitchfs, sids, index_vectors, index_rate,
+                protect, sub,
+            )
+            for (f, audio), seg_out in zip(names, outs):
+                trimmed = seg_out[pipe.t_pad_tgt : -pipe.t_pad_tgt]
+                if volume_envelope != 1.0:
+                    from .pipeline import change_rms
+
+                    trimmed = change_rms(
+                        audio, 16000, trimmed, self.tgt_sr, volume_envelope
+                    )
+                peak = np.abs(trimmed).max() / 0.99
+                if peak > 1.0:
+                    trimmed = trimmed / peak
+                save_audio(out_path(f), trimmed.astype(np.float32), self.tgt_sr)
+                print(f"batch-converted {f}")
+
+        for f, _ in long_files:
+            self.convert_audio(f, out_path(f), **kwargs)
 
     @staticmethod
     def _export(path: str, export_format: str) -> str:

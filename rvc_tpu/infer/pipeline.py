@@ -159,11 +159,11 @@ class Pipeline:
         def _convert(
             synth_params,
             emb_params,
-            audio16k,      # [1, T16] padded
-            pitch,         # [1, P] int32 (padded)
-            pitchf,        # [1, P] f32
-            p_len,         # [] actual latent frames
-            sid,           # [1]
+            audio16k,      # [B, T16] padded
+            pitch,         # [B, P] int32 (padded)
+            pitchf,        # [B, P] f32
+            p_len,         # [B] actual latent frames
+            sid,           # [B]
             index_vectors, # [N, 768] or None
             index_rate,    # []
             protect,       # []
@@ -172,8 +172,11 @@ class Pipeline:
         ):
             feats = self.embedder.apply({"params": emb_params}, audio16k)
             if index_vectors is not None:
-                blended = retrieve_blend(feats[0], index_vectors, index_rate)
-                feats = blended[None]
+                b, tt, dd = feats.shape
+                blended = retrieve_blend(
+                    feats.reshape(b * tt, dd), index_vectors, index_rate
+                )
+                feats = blended.reshape(b, tt, dd)
             feats0 = feats
             # x2 nearest upsample 50Hz -> 100Hz (pipeline.py:463-465 F.interpolate)
             feats = jnp.repeat(feats, 2, axis=1)
@@ -187,7 +190,7 @@ class Pipeline:
                 # protect blend (pipeline.py:469-481)
                 pitchff = jnp.where(pitchf > 0, 1.0, protect)
                 feats = feats * pitchff[..., None] + feats0 * (1.0 - pitchff[..., None])
-            lengths = jnp.minimum(p_len, t)[None]
+            lengths = jnp.minimum(p_len, t)
             audio, _ = self.synthesizer.apply(
                 {"params": synth_params},
                 feats,
@@ -198,7 +201,7 @@ class Pipeline:
                 method=type(self.synthesizer).infer,
                 rngs={"noise": rng},
             )
-            return audio[0, :, 0]
+            return audio[..., 0]  # [B, T_out]
 
         self._convert = _convert
 
@@ -319,7 +322,7 @@ class Pipeline:
             jnp.asarray(audio_in[None]),
             pitch_in,
             pitchf_in,
-            jnp.asarray(p_len, jnp.int32),
+            jnp.asarray([p_len], jnp.int32),
             jnp.asarray([sid], jnp.int32),
             index_vectors,
             jnp.asarray(index_rate, jnp.float32),
@@ -327,8 +330,54 @@ class Pipeline:
             rng,
             use_pitch=use_pitch,
         )
-        out = np.asarray(audio_out)
+        out = np.asarray(audio_out)[0]
         return out[: p_len * self.upp]
+
+    def convert_segments_batch(
+        self,
+        segments: List[np.ndarray],
+        pitches: List[Optional[np.ndarray]],
+        pitchfs: List[Optional[np.ndarray]],
+        sids: List[int],
+        index_vectors: Optional[jax.Array],
+        index_rate: float,
+        protect: float,
+        rng: jax.Array,
+    ) -> List[np.ndarray]:
+        """Convert several 16k segments in ONE device batch (no reference
+        equivalent — batch mode there loops convert_audio serially,
+        infer.py:350-414). All segments pad to a common bucket; per-segment
+        true lengths mask through the model."""
+        use_pitch = pitches[0] is not None
+        t_pad = self._bucket_len(max(len(s) for s in segments))
+        frames_pad = t_pad // WINDOW
+        b = len(segments)
+        audio_in = np.zeros((b, t_pad), np.float32)
+        pit = np.ones((b, frames_pad), np.int32)
+        pif = np.zeros((b, frames_pad), np.float32)
+        p_lens = np.zeros((b,), np.int32)
+        for i, seg in enumerate(segments):
+            audio_in[i, : len(seg)] = seg
+            p_lens[i] = len(seg) // WINDOW
+            if use_pitch:
+                n = min(p_lens[i], len(pitches[i]))
+                pit[i, :n] = pitches[i][:n]
+                pif[i, :n] = pitchfs[i][:n]
+        out = np.asarray(self._convert(
+            self.synth_params,
+            self.embedder_params,
+            jnp.asarray(audio_in),
+            jnp.asarray(pit),
+            jnp.asarray(pif),
+            jnp.asarray(p_lens),
+            jnp.asarray(np.asarray(sids, np.int32)),
+            index_vectors,
+            jnp.asarray(index_rate, jnp.float32),
+            jnp.asarray(protect, jnp.float32),
+            rng,
+            use_pitch=use_pitch,
+        ))
+        return [out[i, : int(p_lens[i]) * self.upp] for i in range(b)]
 
     def pipeline(
         self,

@@ -159,3 +159,54 @@ def test_trainer_one_epoch_and_resume(tmp_path):
     trainer2.model_d = trainer.model_d
     trainer2.init_state()
     assert trainer2.start_epoch == 2
+
+
+def test_batched_segment_conversion_matches_single():
+    """convert_segments_batch must equal per-segment voice_conversion."""
+    from rvc_tpu.infer.pipeline import Pipeline, PipelineConfig
+
+    cfg = _tiny_cfg()
+    model = dataclasses.replace(
+        Synthesizer.from_config(cfg), posterior_layers=2, flow_layers=1,
+        zero_noise=True,  # determinism so batch == single exactly
+    )
+    t = 20
+    rng = np.random.default_rng(0)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(rng.normal(size=(1, t, 768)), jnp.float32),
+        jnp.asarray([t], jnp.int32),
+        jnp.full((1, t), 100, jnp.int32),
+        jnp.full((1, t), 220.0, jnp.float32),
+        jnp.zeros((1, t, cfg.data.spec_channels)),
+        jnp.asarray([t], jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    emb = TinyEmbedder()
+    emb_params = {"proj": jnp.asarray(
+        rng.normal(size=(400, 768)) * 0.01, jnp.float32
+    )}
+    pipe = Pipeline(
+        SR_MODEL, model, vs["params"], emb, emb_params,
+        PipelineConfig(x_pad=1, x_query=2, x_center=8, x_max=10),
+        upsample_factor=cfg.upsample_factor,
+    )
+
+    tt = np.arange(16000) / 16000
+    seg_a = (0.3 * np.sin(2 * np.pi * 220 * tt)).astype(np.float32)
+    seg_b = (0.2 * np.sin(2 * np.pi * 330 * tt[:12000])).astype(np.float32)
+    n_a, n_b = len(seg_a) // 160, len(seg_b) // 160
+    pit_a = np.full(n_a, 120, np.int32); pif_a = np.full(n_a, 220.0, np.float32)
+    pit_b = np.full(n_b, 150, np.int32); pif_b = np.full(n_b, 330.0, np.float32)
+
+    key = jax.random.PRNGKey(7)
+    batch_out = pipe.convert_segments_batch(
+        [seg_a, seg_b], [pit_a, pit_b], [pif_a, pif_b], [0, 0],
+        None, 0.0, 0.5, key,
+    )
+    single_a = pipe.voice_conversion(seg_a, pit_a, pif_a, 0, None, 0.0, 0.5, key)
+    single_b = pipe.voice_conversion(seg_b, pit_b, pif_b, 0, None, 0.0, 0.5, key)
+    assert len(batch_out[0]) == len(single_a)
+    assert len(batch_out[1]) == len(single_b)
+    np.testing.assert_allclose(batch_out[0], single_a, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(batch_out[1], single_b, rtol=1e-4, atol=1e-5)
