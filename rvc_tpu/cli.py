@@ -174,6 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_wgan_gp_loss", type=_bool, default=False)
     p.add_argument("--bf16_run", type=_bool, default=True)
     p.add_argument("--checkpointing", type=_bool, default=False)
+    p.add_argument("--discriminators", type=str, default="mpd",
+                   help="comma list: mpd,mpd_v1,mrd,msstft,mssbcqt,msd")
     p.add_argument("--index_algorithm", type=str, default="Auto")
 
     p = sub.add_parser("index", help="Build the retrieval index")
@@ -295,6 +297,7 @@ def main(argv=None) -> int:
         exp_dir = os.path.join("logs", args.model_name)
         targs = TrainerArgs(
             exp_dir=exp_dir,
+            discriminators=args.discriminators,
             total_epochs=args.total_epoch,
             save_every_epoch=args.save_every_epoch,
             save_only_latest=args.save_only_latest,

@@ -88,6 +88,7 @@ class TrainerArgs:
     save_only_latest: bool = False
     pretrain_g: str = ""
     pretrain_d: str = ""
+    discriminators: str = "mpd"        # comma list from the registry
     batch_size: Optional[int] = None
     optimizer: Optional[str] = None
     warmup_epochs: Optional[int] = None
@@ -147,7 +148,13 @@ class Trainer:
         self.steps_per_epoch = spe
 
         self.model_g = Synthesizer.from_config(cfg)
-        self.model_d = MultiPeriodDiscriminator()
+        names = [n.strip() for n in args.discriminators.split(",") if n.strip()]
+        if names == ["mpd"]:
+            self.model_d = MultiPeriodDiscriminator()
+        else:
+            from ..models.custom_discriminators import build_discriminator
+
+            self.model_d = build_discriminator(names, cfg.data.sample_rate)
 
         sched = make_epoch_lr_schedule(
             cfg.train.learning_rate, spe, cfg.train.warmup_epochs, cfg.train.lr_decay
@@ -256,12 +263,36 @@ class Trainer:
 
     # -- loops --------------------------------------------------------------
 
+    def _prefetch(self, iterator, depth: int = 2):
+        """Background-thread prefetch: host-side loading/padding overlaps the
+        device step (the reference relies on DataLoader workers; here one
+        thread suffices since batches are numpy assembly, not decode)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in iterator:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
     def train_epoch(self, epoch: int, rng: jax.Array) -> Dict[str, float]:
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
         sums: Dict[str, float] = collections.defaultdict(float)
         n = 0
-        for batch in self.batcher(epoch=epoch):
+        for batch in self._prefetch(self.batcher(epoch=epoch)):
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.jstep(self.state, self._shard_batch(batch), sub)
             n += 1
