@@ -1,17 +1,29 @@
 from .mel import mel_filterbank
+from .retrieval import (
+    FeatureIndex,
+    kmeans,
+    knn_search,
+    knn_search_tiled,
+    retrieve_blend,
+)
 from .stft import (
-    stft_magnitude,
-    spectrogram,
-    spec_to_mel,
-    mel_spectrogram,
     MelSpec,
+    mel_spectrogram,
+    spec_to_mel,
+    spectrogram,
+    stft_magnitude,
 )
 
 __all__ = [
-    "mel_filterbank",
-    "stft_magnitude",
-    "spectrogram",
-    "spec_to_mel",
-    "mel_spectrogram",
+    "FeatureIndex",
     "MelSpec",
+    "kmeans",
+    "knn_search",
+    "knn_search_tiled",
+    "mel_filterbank",
+    "mel_spectrogram",
+    "retrieve_blend",
+    "spec_to_mel",
+    "spectrogram",
+    "stft_magnitude",
 ]
