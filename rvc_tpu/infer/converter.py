@@ -26,6 +26,12 @@ from .postprocess import apply_post_process
 
 
 class VoiceConverter:
+    PREDICTOR_CKPTS = {
+        "rmvpe": os.path.join("models", "predictors", "rmvpe.pt"),
+        "fcpe": os.path.join("models", "predictors", "fcpe.pt"),
+        "crepe": os.path.join("models", "predictors", "crepe.pt"),
+    }
+
     def __init__(self):
         self.pipeline: Optional[Pipeline] = None
         self.loaded_model: Optional[str] = None
@@ -34,6 +40,28 @@ class VoiceConverter:
         self.embedder_params = None
         self.tgt_sr: Optional[int] = None
         self.use_f0 = True
+        self._predictors: Dict[str, Any] = {}
+
+    def get_predictors(self, f0_method: str) -> Dict[str, Any]:
+        """Instantiate (and cache) the f0 predictors a method needs; local
+        checkpoints under models/predictors/ are converted on load, random
+        init otherwise (reference auto-downloads, pipeline.py:207,355-366)."""
+        methods = (
+            [m.strip() for m in f0_method[len("hybrid["):-1].split("+")]
+            if f0_method.startswith("hybrid[")
+            else [f0_method]
+        )
+        from ..predictors.f0_extractor import build_predictors
+
+        missing = [m for m in methods if m not in self._predictors and m != "yin"]
+        if missing:
+            self._predictors.update(build_predictors(
+                tuple(dict.fromkeys(missing)),
+                rmvpe_ckpt=self.PREDICTOR_CKPTS.get("rmvpe"),
+                fcpe_ckpt=self.PREDICTOR_CKPTS.get("fcpe"),
+                crepe_ckpt=self.PREDICTOR_CKPTS.get("crepe"),
+            ))
+        return self._predictors
 
     # -- model management ----------------------------------------------------
 
@@ -130,6 +158,7 @@ class VoiceConverter:
             pitch_guidance=self.use_f0, volume_envelope=volume_envelope,
             protect=protect, f0_autotune=f0_autotune,
             f0_autotune_strength=f0_autotune_strength, inp_f0=inp_f0,
+            predictors=self.get_predictors(f0_method) if self.use_f0 else None,
         )
 
         if split_audio:
@@ -227,7 +256,7 @@ class VoiceConverter:
                 if self.use_f0:
                     pc, pf = pipe.get_f0(
                         audio_pad, p_len, pitch_shift, f0_method,
-                        kwargs.get("predictors"),
+                        self.get_predictors(f0_method),
                     )
                 else:
                     pc = pf = None

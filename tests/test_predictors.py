@@ -112,3 +112,18 @@ def test_crepe_random_weights_shape():
     f0 = mdl.predict(audio, decoder="weighted")
     assert f0.shape == (len(audio) // 160 + 1,)
     assert np.isfinite(f0).all()
+
+
+def test_converter_builds_predictor_registry():
+    """CLI default --f0_method rmvpe must resolve to a real predictor even
+    without downloaded checkpoints (random-init fallback)."""
+    from rvc_tpu.infer.converter import VoiceConverter
+
+    vc = VoiceConverter()
+    p = vc.get_predictors("rmvpe")
+    assert "rmvpe" in p and callable(p["rmvpe"])
+    # cached on second call
+    assert vc.get_predictors("rmvpe")["rmvpe"] is p["rmvpe"]
+    # hybrid spawns both
+    p2 = vc.get_predictors("hybrid[rmvpe+fcpe]")
+    assert "fcpe" in p2
