@@ -208,8 +208,27 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: repeat invocations of the same pipeline
+    skip the (minutes-long for the full model) compiles."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "RVC_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "rvc_tpu", "xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.mode in ("infer", "batch_infer", "tts", "extract", "train", "index"):
+        _enable_compile_cache()
 
     if args.mode == "infer":
         from .infer.converter import VoiceConverter

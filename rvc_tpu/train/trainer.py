@@ -186,10 +186,16 @@ class Trainer:
 
     def init_state(self) -> None:
         batch = {k: jnp.asarray(v) for k, v in self._example_batch().items()}
-        self.state = create_train_state(
-            jax.random.PRNGKey(self.args.seed),
-            self.cfg, self.model_g, self.model_d, self.tx_g, self.tx_d, batch,
+        # jit the whole initialization: one compiled program instead of
+        # thousands of eager op dispatches (critical through remote devices)
+        init_fn = jax.jit(
+            lambda rng, b: create_train_state(
+                rng, self.cfg, self.model_g, self.model_d,
+                self.tx_g, self.tx_d, b,
+            )
         )
+        self.state = init_fn(jax.random.PRNGKey(self.args.seed), batch)
+        jax.block_until_ready(self.state.params_g)
         g_path = _latest_checkpoint(self.args.exp_dir, "G")
         d_path = _latest_checkpoint(self.args.exp_dir, "D")
         if g_path and d_path:
