@@ -39,6 +39,11 @@ def inference_tab(gr, i18n):
 
     with gr.Tab(i18n("Single")):
         audio_in = gr.Audio(label=i18n("Upload Audio"), type="filepath")
+        from ..utils.presets import list_presets, load_preset
+
+        with gr.Row():
+            preset = gr.Dropdown(label=i18n("Preset"), choices=list_presets())
+            apply_preset = gr.Button(i18n("Apply Preset"))
         with gr.Accordion(i18n("Advanced Settings"), open=False):
             pitch = gr.Slider(-24, 24, 0, step=1, label=i18n("Pitch"))
             index_rate = gr.Slider(0, 1, 0.3, label=i18n("Search Feature Ratio"))
@@ -52,6 +57,24 @@ def inference_tab(gr, i18n):
             clean = gr.Checkbox(False, label=i18n("Clean Audio"))
             clean_strength = gr.Slider(0, 1, 0.7, label=i18n("Clean Strength"))
             split = gr.Checkbox(False, label=i18n("Split Audio"))
+        def do_apply_preset(name):
+            if not name:
+                return [gr.update()] * 6
+            pr = load_preset(name)
+            return [
+                gr.update(value=pr.get("pitch", 0)),
+                gr.update(value=pr.get("index_rate", 0.3)),
+                gr.update(value=pr.get("protect", 0.33)),
+                gr.update(value=pr.get("volume_envelope", 1.0)),
+                gr.update(value=pr.get("f0_method", "rmvpe")),
+                gr.update(value=pr.get("clean_audio", False)),
+            ]
+
+        apply_preset.click(
+            do_apply_preset, [preset],
+            [pitch, index_rate, protect, volume_env, f0_method, clean],
+        )
+
         convert_btn = gr.Button(i18n("Convert"))
         audio_out = gr.Audio(label=i18n("Export Audio"))
 

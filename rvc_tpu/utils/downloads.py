@@ -28,6 +28,11 @@ def prerequisites_download_pipeline(
     where to place it."""
     os.makedirs(os.path.join(MODELS_DIR, "predictors"), exist_ok=True)
     os.makedirs(os.path.join(MODELS_DIR, "pretraineds"), exist_ok=True)
+    # build the native audio engine while we're here (needs only g++)
+    from . import native
+
+    if native.available():
+        print("native audio engine ready")
     missing = []
     if models:
         for name in PREDICTORS:
