@@ -54,9 +54,12 @@ def _add_infer_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--volume_envelope", type=float, default=1.0)
     p.add_argument("--protect", type=float, default=0.33)
     p.add_argument("--hop_length", type=int, default=128)
+    # reference menu (core.py:714-723) + TPU-native yin extras
     p.add_argument("--f0_method", type=str, default="rmvpe",
                    choices=["crepe", "crepe-tiny", "rmvpe", "fcpe", "yin",
-                            "hybrid[rmvpe+fcpe]", "hybrid[rmvpe+yin]"])
+                            "hybrid[crepe+rmvpe]", "hybrid[crepe+fcpe]",
+                            "hybrid[rmvpe+fcpe]", "hybrid[crepe+rmvpe+fcpe]",
+                            "hybrid[rmvpe+yin]"])
     p.add_argument("--pth_path", type=str, required=True)
     p.add_argument("--index_path", type=str, default="")
     p.add_argument("--split_audio", type=_bool, default=False)
@@ -78,7 +81,7 @@ def _add_infer_args(p: argparse.ArgumentParser) -> None:
 
 def _collect_infer_kwargs(args) -> dict:
     keys = (
-        "pitch index_rate volume_envelope protect f0_method "
+        "pitch filter_radius index_rate volume_envelope protect f0_method "
         "split_audio f0_autotune f0_autotune_strength clean_audio "
         "clean_strength export_format f0_file sid embedder_model "
         "embedder_model_custom formant_shifting formant_qfrency "

@@ -98,7 +98,7 @@ class VoiceConverter:
         self.load_embedder_model(embedder_model, embedder_model_custom)
         self.pipeline = Pipeline(
             self.tgt_sr, model, params, self.embedder, self.embedder_params,
-            PipelineConfig(), upsample_factor=cfg.upsample_factor,
+            PipelineConfig.from_device(), upsample_factor=cfg.upsample_factor,
         )
         self.loaded_model = model_path
 
@@ -112,6 +112,7 @@ class VoiceConverter:
         index_path: str = "",
         pitch: int = 0,
         f0_method: str = "yin",
+        filter_radius: float = 3,
         index_rate: float = 0.0,
         volume_envelope: float = 1.0,
         protect: float = 0.5,
@@ -159,6 +160,7 @@ class VoiceConverter:
             protect=protect, f0_autotune=f0_autotune,
             f0_autotune_strength=f0_autotune_strength, inp_f0=inp_f0,
             predictors=self.get_predictors(f0_method) if self.use_f0 else None,
+            filter_radius=filter_radius,
         )
 
         if split_audio:
@@ -238,6 +240,7 @@ class VoiceConverter:
             )
 
         f0_method = kwargs.get("f0_method", "yin")
+        filter_radius = kwargs.get("filter_radius", 3)
         pitch_shift = kwargs.get("pitch", 0)
         sid = kwargs.get("sid", 0)
         protect = kwargs.get("protect", 0.5)
@@ -257,6 +260,7 @@ class VoiceConverter:
                     pc, pf = pipe.get_f0(
                         audio_pad, p_len, pitch_shift, f0_method,
                         self.get_predictors(f0_method),
+                        filter_radius=filter_radius,
                     )
                 else:
                     pc = pf = None

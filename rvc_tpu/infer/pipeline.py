@@ -171,13 +171,16 @@ class Pipeline:
             use_pitch: bool = True,
         ):
             feats = self.embedder.apply({"params": emb_params}, audio16k)
+            # feats0 is the PRE-retrieval copy: the protect blend restores it
+            # on unvoiced frames (reference clones before index search,
+            # pipeline.py:455-481).
+            feats0 = feats
             if index_vectors is not None:
                 b, tt, dd = feats.shape
                 blended = retrieve_blend(
                     feats.reshape(b * tt, dd), index_vectors, index_rate
                 )
                 feats = blended.reshape(b, tt, dd)
-            feats0 = feats
             # x2 nearest upsample 50Hz -> 100Hz (pipeline.py:463-465 F.interpolate)
             feats = jnp.repeat(feats, 2, axis=1)
             feats0 = jnp.repeat(feats0, 2, axis=1)
@@ -187,9 +190,15 @@ class Pipeline:
             if use_pitch:
                 pitch = pitch[:, :t]
                 pitchf = pitchf[:, :t]
-                # protect blend (pipeline.py:469-481)
+                # protect blend, applied only when protect < 0.5 like the
+                # reference's `if protect < 0.5` gate (pipeline.py:469-481);
+                # protect is traced, so the gate is a select on the blended
+                # result rather than python control flow.
                 pitchff = jnp.where(pitchf > 0, 1.0, protect)
-                feats = feats * pitchff[..., None] + feats0 * (1.0 - pitchff[..., None])
+                blended = (
+                    feats * pitchff[..., None] + feats0 * (1.0 - pitchff[..., None])
+                )
+                feats = jnp.where(protect < 0.5, blended, feats)
             lengths = jnp.minimum(p_len, t)
             audio, _ = self.synthesizer.apply(
                 {"params": synth_params},
@@ -244,9 +253,17 @@ class Pipeline:
         f0_autotune: bool = False,
         f0_autotune_strength: float = 1.0,
         inp_f0: Optional[np.ndarray] = None,
+        filter_radius: float = 3,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """F0 dispatch + autotune + shift + external splice + quantization
-        (pipeline.py:322-410). predictors maps method name -> callable."""
+        (pipeline.py:322-410). predictors maps method name -> callable.
+
+        filter_radius semantics: fractional values (<1) are the FCPE decoder
+        confidence threshold (the reference couples them, pipeline.py:370);
+        odd integers >=3 median-filter the contour, per the documented CLI
+        contract (core.py:669). The reference forwards the integer default
+        straight into the FCPE threshold, which zeroes every frame
+        (torchfcpe latent max <= 1) — a bug we do not reproduce."""
         predictors = predictors or {}
         methods = (
             [m.strip() for m in f0_method[len("hybrid["):-1].split("+")]
@@ -256,7 +273,15 @@ class Pipeline:
         stack = []
         for m in methods:
             if m in predictors:
-                f0 = np.asarray(predictors[m](audio_pad))
+                if m == "fcpe":
+                    try:
+                        f0 = np.asarray(predictors[m](
+                            audio_pad, p_len=p_len, filter_radius=filter_radius
+                        ))
+                    except TypeError:
+                        f0 = np.asarray(predictors[m](audio_pad))
+                else:
+                    f0 = np.asarray(predictors[m](audio_pad))
             elif m == "yin":
                 from ..predictors.dsp_f0 import yin_f0_np
 
@@ -265,6 +290,10 @@ class Pipeline:
                 raise ValueError(f"f0 method {m!r} unavailable (no predictor loaded)")
             stack.append(f0[:p_len] if len(f0) >= p_len else np.pad(f0, (0, p_len - len(f0))))
         f0 = stack[0] if len(stack) == 1 else np.nanmedian(np.stack(stack), axis=0)
+
+        radius = int(filter_radius) if filter_radius is not None else 0
+        if radius >= 3:
+            f0 = sps.medfilt(f0, radius if radius % 2 == 1 else radius + 1)
 
         if f0_autotune:
             f0 = autotune_f0(f0, f0_autotune_strength)
@@ -395,6 +424,7 @@ class Pipeline:
         inp_f0: Optional[np.ndarray] = None,
         predictors: Optional[Dict[str, Any]] = None,
         rng: Optional[jax.Array] = None,
+        filter_radius: float = 3,
     ) -> np.ndarray:
         """Full conversion of a 16 kHz waveform -> tgt_sr waveform
         (pipeline.py:509-694)."""
@@ -414,7 +444,7 @@ class Pipeline:
         if pitch_guidance:
             pitch, pitchf = self.get_f0(
                 audio_pad, p_len, pitch_shift, f0_method, predictors,
-                f0_autotune, f0_autotune_strength, inp_f0,
+                f0_autotune, f0_autotune_strength, inp_f0, filter_radius,
             )
 
         out_segments = []

@@ -194,6 +194,15 @@ class FCPE:
         self, audio: np.ndarray, p_len: Optional[int] = None,
         threshold: float = 0.05, filter_radius: Optional[float] = None,
     ) -> np.ndarray:
+        """audio 16k -> f0 contour with unvoiced gaps filled by linear
+        interpolation, matching the reference surface
+        (fcpe.py:107-131: _interpolate_f0(_resize_f0(f0, p_len))[0]).
+
+        filter_radius: fractional values are the decoder confidence threshold
+        (the reference forwards it verbatim, fcpe.py:125); integer medfilt
+        radii are handled by the caller and ignored here."""
+        if filter_radius is not None and 0.0 < float(filter_radius) < 1.0:
+            threshold = float(filter_radius)
         audio = np.asarray(audio, np.float32)[None, :]
         n_frames = audio.shape[1] // HOP + 1
         f0 = np.asarray(
@@ -201,12 +210,18 @@ class FCPE:
                         jnp.float32(threshold))
         )
         if p_len is not None and p_len != len(f0):
-            # linear resize to requested length (reference fcpe.py:118-127)
-            pos = np.linspace(0, len(f0) - 1, p_len)
-            lo = np.floor(pos).astype(int)
-            hi = np.minimum(lo + 1, len(f0) - 1)
-            frac = pos - lo
-            f0 = f0[lo] * (1 - frac) + f0[hi] * frac
+            # nan-masked linear resize (reference fcpe.py:69-77 _resize_f0)
+            src = f0.astype(np.float64)
+            src[src < 0.001] = np.nan
+            f0 = np.nan_to_num(np.interp(
+                np.arange(0, len(src) * p_len, len(src)) / p_len,
+                np.arange(0, len(src)), src,
+            ))
+        # fill unvoiced gaps (reference fcpe.py:30-67 _interpolate_f0):
+        # interior gaps linear between neighbours, edges hold nearest voiced
+        voiced = np.nonzero(f0 > 0.0)[0]
+        if len(voiced):
+            f0 = np.interp(np.arange(len(f0)), voiced, f0[voiced])
         return f0.astype(np.float32)
 
 

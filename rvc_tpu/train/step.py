@@ -93,6 +93,7 @@ def make_train_step(
     tx_d: optax.GradientTransformation,
     steps_per_epoch: int = 1,
     balancer_freeze_epochs: int = 3,
+    lr_schedule=None,
 ):
     """Builds `train_step(state, batch, rng) -> (state, metrics)`.
 
@@ -133,7 +134,7 @@ def make_train_step(
         return model_d.apply({"params": params_d}, y, y_hat)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        rng_slice, rng_noise = jax.random.split(rng)
+        rng_slice, rng_noise, rng_gp = jax.random.split(rng, 3)
         b = batch["spec"].shape[0]
         spec_lengths = batch["spec_lengths"]
 
@@ -173,7 +174,12 @@ def make_train_step(
         def d_loss_fn(params_d):
             y_d_r, y_d_g, _, _ = d_apply(params_d, wave, y_hat_sg)
             if t.use_wgan:
-                return L.wgan_discriminator_loss(y_d_r, y_d_g)
+                # critic loss + unit-gradient penalty (reference
+                # train.py:1064-1071: loss_disc + gp_weight * gp, gp_weight=1)
+                gp = L.gradient_penalty(
+                    rng_gp, d_apply, params_d, wave, y_hat_sg
+                )
+                return L.wgan_discriminator_loss(y_d_r, y_d_g) + gp
             return L.discriminator_loss(y_d_r, y_d_g)
 
         params_d, opt_d = state.params_d, state.opt_d
@@ -262,9 +268,11 @@ def make_train_step(
 
         balancer = state.balancer
         if balancer is not None:
-            # The balancer's 4 scalars ride the generator LR directly, like
-            # the reference's shared optim_g param group (train.py:662-665).
-            lr = t.learning_rate
+            # The balancer's 4 scalars ride the generator's *scheduled* LR,
+            # like the reference's shared optim_g param group
+            # (train.py:662-665: same optimizer, same warmup/decay schedule).
+            lr = (lr_schedule(state.step) if lr_schedule is not None
+                  else t.learning_rate)
             balancer = jax.tree.map(
                 lambda p, g: p - lr * g, balancer, balancer_grads
             )

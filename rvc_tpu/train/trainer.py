@@ -163,7 +163,8 @@ class Trainer:
         self.tx_d = make_optimizer(cfg.train.optimizer, sched)
 
         self.step_fn = make_train_step(
-            cfg, self.model_g, self.model_d, self.tx_g, self.tx_d, spe
+            cfg, self.model_g, self.model_d, self.tx_g, self.tx_d, spe,
+            lr_schedule=sched,
         )
 
         from ..parallel import make_mesh_for_batch, shard_batch, shard_train_step
@@ -212,6 +213,11 @@ class Trainer:
             params_d=params_d["model"],
             step=jnp.asarray(epoch * self.steps_per_epoch, jnp.int32),
         )
+        if "balancer" in params_g and self.state.balancer is not None:
+            self.state = self.state.replace(
+                balancer={k: jnp.asarray(v)
+                          for k, v in params_g["balancer"].items()}
+            )
         if "optimizer" in params_g:
             try:
                 self.state = self.state.replace(
@@ -241,10 +247,14 @@ class Trainer:
         suffix = 2333333 if self.args.save_only_latest else epoch
         meta = {"epoch": epoch, "sample_rate": self.cfg.data.sample_rate,
                 "vocoder": self.cfg.model.vocoder}
+        g_tree = {"model": self.state.params_g,
+                  "optimizer": _opt_state_arrays(self.state.opt_g)}
+        if self.state.balancer is not None:
+            # learned uncertainty log-sigmas must survive resume
+            g_tree["balancer"] = self.state.balancer
         save_checkpoint(
             os.path.join(self.args.exp_dir, f"G_{suffix}.npz"),
-            {"model": self.state.params_g,
-             "optimizer": _opt_state_arrays(self.state.opt_g)},
+            g_tree,
             meta,
         )
         save_checkpoint(
@@ -266,6 +276,25 @@ class Trainer:
             {**meta, "f0": int(self.cfg.model.use_f0),
              "version": "v2", "epochs": epoch},
         )
+        if self.cfg.model.vocoder == "HiFi-GAN":
+            # reference-loadable deployable (.pth, extract_model.py format);
+            # the exporter covers the NSF decoder only
+            try:
+                from ..utils.export_torch import export_rvc_pth
+
+                export_rvc_pth(
+                    jax.device_get(self.state.params_g),
+                    os.path.join(self.args.exp_dir, f"{model_name}_{epoch}e.pth"),
+                    sr=self.cfg.data.sample_rate,
+                    vocoder=self.cfg.model.vocoder,
+                    cfg=self.cfg,
+                    epoch=epoch,
+                    step=int(self.state.step),
+                    name=model_name,
+                    n_enc_layers=self.cfg.model.n_layers,
+                )
+            except Exception as e:
+                print(f".pth deployable export skipped ({e})")
 
     # -- loops --------------------------------------------------------------
 

