@@ -186,8 +186,14 @@ class Synthesizer(nn.Module):
         nsff0: Optional[jax.Array],
         sid: jax.Array,
         temperature: float = 0.66666,
+        rate: Optional[float] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Inference: prior sample -> inverse flow -> decode. Returns (o, x_mask)."""
+        """Inference: prior sample -> inverse flow -> decode. Returns (o, x_mask).
+
+        rate: streaming head-trim (reference synthesizers.py:250-253) — keep
+        only the trailing `rate` fraction of latent frames before the inverse
+        flow/decode. Static per compile (a python float), so each distinct
+        rate is its own XLA program."""
         g = self.emb_g(sid)[:, None, :]
         m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
         if self.zero_noise or temperature == 0.0:
@@ -195,6 +201,12 @@ class Synthesizer(nn.Module):
         else:
             eps = jax.random.normal(self.make_rng("noise"), m_p.shape, m_p.dtype)
             z_p = (m_p + jnp.exp(logs_p) * eps * temperature) * x_mask
+        if rate is not None:
+            head = int(z_p.shape[1] * (1.0 - float(rate)))
+            z_p = z_p[:, head:]
+            x_mask = x_mask[:, head:]
+            if self.use_f0 and nsff0 is not None:
+                nsff0 = nsff0[:, head:]
         z = self.flow(z_p, x_mask, g=g, reverse=True)
         if self.use_f0:
             o = self.dec(z * x_mask, nsff0, g=g)

@@ -137,9 +137,14 @@ class CFNaiveMelPE(nn.Module):
 
 
 def fcpe_mel(audio: jax.Array) -> jax.Array:
-    """[B, T] 16k -> [B, frames, 128] log-mel (torchfcpe wav2mel numerics:
-    librosa slaney mel, log clamp 1e-5, centered stft)."""
-    mag = stft_magnitude(audio, WIN, HOP, WIN, center=True, eps=0.0)
+    """[B, T] 16k -> [B, T//160, 128] log-mel (torchfcpe MelModule numerics,
+    mel_extractor.py:95-152: reflect pad (win-hop)//2 left / (win-hop+1)//2
+    right, non-centered stft, sqrt(power + 1e-9), librosa slaney mel,
+    log clamp 1e-5)."""
+    pad_left = (WIN - HOP) // 2
+    pad_right = (WIN - HOP + 1) // 2
+    y = jnp.pad(audio, ((0, 0), (pad_left, pad_right)), mode="reflect")
+    mag = stft_magnitude(y, WIN, HOP, WIN, center=False, eps=1e-9)
     fb = jnp.asarray(mel_filterbank(SR, WIN, N_MELS, 0.0, 8000.0).T)
     mel = jnp.matmul(mag, fb, preferred_element_type=jnp.float32)
     return jnp.log(jnp.clip(mel, min=1e-5))
@@ -188,7 +193,17 @@ class FCPE:
 
         obj = torch.load(path, map_location="cpu", weights_only=True)
         sd = obj.get("model", obj) if isinstance(obj, dict) else obj
-        return cls(convert_torch_fcpe(sd))
+        sd = {k: v for k, v in sd.items()}
+        # architecture from the checkpoint: hidden width, depth, conv_only
+        hidden = int(sd["input_stack.0.weight"].shape[0])
+        n_layers = 0
+        while f"net.encoder_layers.{n_layers}.conformer.net.0.weight" in sd:
+            n_layers += 1
+        conv_only = "net.encoder_layers.0.attn.to_q.weight" not in sd
+        model = CFNaiveMelPE(
+            hidden_dims=hidden, n_layers=n_layers, conv_only=conv_only
+        )
+        return cls(convert_torch_fcpe(sd), model=model)
 
     def compute_f0(
         self, audio: np.ndarray, p_len: Optional[int] = None,
@@ -204,7 +219,7 @@ class FCPE:
         if filter_radius is not None and 0.0 < float(filter_radius) < 1.0:
             threshold = float(filter_radius)
         audio = np.asarray(audio, np.float32)[None, :]
-        n_frames = audio.shape[1] // HOP + 1
+        n_frames = audio.shape[1] // HOP  # torchfcpe framing (see fcpe_mel)
         f0 = np.asarray(
             self._infer(self.params, jnp.asarray(audio), n_frames,
                         jnp.float32(threshold))
@@ -263,16 +278,17 @@ def convert_torch_fcpe(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     p["output_proj"] = {"kernel": w.T, "bias": sd["output_proj.bias"]}
 
     n_layers = 0
-    while f"net.encoder_layers.{n_layers}.norm.weight" in sd:
+    while f"net.encoder_layers.{n_layers}.conformer.net.0.weight" in sd:
         n_layers += 1
     for i in range(n_layers):
         pre = f"net.encoder_layers.{i}"
-        layer: Dict[str, Any] = {
-            "norm": {
+        layer: Dict[str, Any] = {}
+        if f"{pre}.attn.to_q.weight" in sd:  # absent in conv_only checkpoints
+            layer["norm"] = {
                 "scale": sd[f"{pre}.norm.weight"],
                 "bias": sd[f"{pre}.norm.bias"],
-            },
-            "attn": {
+            }
+            layer["attn"] = {
                 "to_q": {"kernel": sd[f"{pre}.attn.to_q.weight"].T},
                 "to_k": {"kernel": sd[f"{pre}.attn.to_k.weight"].T},
                 "to_v": {"kernel": sd[f"{pre}.attn.to_v.weight"].T},
@@ -280,7 +296,8 @@ def convert_torch_fcpe(state_dict: Dict[str, Any]) -> Dict[str, Any]:
                     "kernel": sd[f"{pre}.attn.to_out.weight"].T,
                     "bias": sd[f"{pre}.attn.to_out.bias"],
                 },
-            },
+            }
+        layer.update({
             "conformer": {
                 "norm": {
                     "scale": sd[f"{pre}.conformer.net.0.weight"],
@@ -299,6 +316,6 @@ def convert_torch_fcpe(state_dict: Dict[str, Any]) -> Dict[str, Any]:
                     "bias": sd[f"{pre}.conformer.net.6.bias"],
                 },
             },
-        }
+        })
         p[f"layer_{i}"] = layer
     return jax.tree.map(jnp.asarray, p)

@@ -135,11 +135,16 @@ class E2EModel(nn.Module):
 
         x = nn.Conv(3, (3, 3), padding=1, name="cnn")(x)  # [B, T, 128, 3]
         b, t = x.shape[0], x.shape[1]
-        x = x.reshape(b, t, 128 * 3)
+        # channel-major flatten [T, 3, 128] -> 384, matching the reference's
+        # transpose(1, 2).flatten(-2) (RMVPE.py:336-338) so GRU/fc weights
+        # convert 1:1
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, 3 * 128)
 
-        fwd = nn.RNN(nn.GRUCell(self.gru_hidden), name="gru_fwd")(x)
-        bwd = nn.RNN(nn.GRUCell(self.gru_hidden), reverse=True,
-                     keep_order=True, name="gru_bwd")(x)
+        # params belong to the CELL's scope (flax RNN shares the cell module),
+        # so name the cells — the RNN wrapper owns no params
+        fwd = nn.RNN(nn.GRUCell(self.gru_hidden, name="gru_fwd"))(x)
+        bwd = nn.RNN(nn.GRUCell(self.gru_hidden, name="gru_bwd"),
+                     reverse=True, keep_order=True)(x)
         x = jnp.concatenate([fwd, bwd], axis=-1)
         x = nn.Dense(N_CLASS, name="fc")(x)
         return jax.nn.sigmoid(x)
@@ -270,15 +275,18 @@ def _gru_params(sd, prefix, reverse: bool, hidden: int) -> Dict:
     def rows(w, i):
         return w[i * h : (i + 1) * h]
 
-    cell = {
-        "ir": {"kernel": rows(w_ih, 0).T, "bias": rows(b_ih, 0)},
-        "iz": {"kernel": rows(w_ih, 1).T, "bias": rows(b_ih, 1)},
+    # flax GRUCell: hr/hz are bias-free (input+recurrent sums share one bias),
+    # so fold b_hh into the input bias for r/z; the n gate keeps both biases
+    # because r multiplies the recurrent term (torch: n = tanh(W_in x + b_in
+    # + r * (W_hn h + b_hn)) — identical form in flax).
+    return {
+        "ir": {"kernel": rows(w_ih, 0).T, "bias": rows(b_ih, 0) + rows(b_hh, 0)},
+        "iz": {"kernel": rows(w_ih, 1).T, "bias": rows(b_ih, 1) + rows(b_hh, 1)},
         "in": {"kernel": rows(w_ih, 2).T, "bias": rows(b_ih, 2)},
-        "hr": {"kernel": rows(w_hh, 0).T, "bias": rows(b_hh, 0)},
-        "hz": {"kernel": rows(w_hh, 1).T, "bias": rows(b_hh, 1)},
+        "hr": {"kernel": rows(w_hh, 0).T},
+        "hz": {"kernel": rows(w_hh, 1).T},
         "hn": {"kernel": rows(w_hh, 2).T, "bias": rows(b_hh, 2)},
     }
-    return {"cell": cell}
 
 
 def convert_torch_rmvpe(

@@ -1,0 +1,316 @@
+"""Numerical parity vs the reference torch implementation (/root/reference).
+
+Each test instantiates the reference's OWN torch modules with seeded random
+weights, converts them through our checkpoint converters, and diffs forward
+outputs — proving that real reference checkpoints (rmvpe.pt, fcpe.pt,
+deployable .pth models) load into this framework bit-faithfully.
+
+Covered:      Synthesizer.infer (all 3 vocoders + rate arg + training fwd),
+              RMVPE end-to-end, torchfcpe CFNaiveMelPE (conv_only) + mel
+              front + local-argmax decoder, mel_processing numerics
+              (spectrogram / mel / multi-scale loss).
+Not covered:  torchcrepe (wheel absent in this env — converter follows the
+              published torchcrepe layout), the torchfcpe Performer attention
+              (replaced by exact softmax, documented in predictors/fcpe.py).
+
+librosa is stubbed with the reference's own vendored copy
+(torchfcpe/mel_fn_librosa.py), so filterbank parity is tested against a
+genuine librosa implementation. See tests/_reference_compat.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import _reference_compat as rc  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+torch = pytest.importorskip("torch")
+rc.install()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# highest precision so parity thresholds measure design, not matmul rounding
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# synthesizer
+# ---------------------------------------------------------------------------
+
+TINY = dict(
+    spec_channels=257, segment_size=32, inter_channels=8, hidden_channels=8,
+    filter_channels=16, n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.0,
+    resblock="1", resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+    upsample_rates=[16, 10, 2], upsample_initial_channel=16,
+    upsample_kernel_sizes=[32, 20, 4], spk_embed_dim=4, gin_channels=8,
+    sr=32000, use_f0=True,
+)
+
+
+def _build_pair(vocoder: str, gin: int):
+    from rvc.lib.algorithm.synthesizers import Synthesizer as TorchSynth
+
+    from rvc_tpu.models.synthesizer import Synthesizer as FlaxSynth
+    from rvc_tpu.utils.checkpoints import convert_torch_synthesizer
+
+    torch.manual_seed(0)
+    dims = dict(TINY, gin_channels=gin, vocoder=vocoder)
+    tm = TorchSynth(**dims).eval()
+    params = convert_torch_synthesizer(
+        tm.state_dict(), n_enc_layers=2, n_ups=3, num_kernels=1, vocoder=vocoder
+    )
+    fm = FlaxSynth(
+        spec_channels=257, segment_size=32, inter_channels=8, hidden_channels=8,
+        filter_channels=16, n_heads=2, n_layers=2, kernel_size=3,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(16, 10, 2), upsample_initial_channel=16,
+        upsample_kernel_sizes=(32, 20, 4), spk_embed_dim=4, gin_channels=gin,
+        sr=32000, use_f0=True, vocoder=vocoder, zero_noise=True,
+    )
+    return tm, fm, params
+
+
+def _infer_inputs(T=20, seed=1):
+    rng = np.random.default_rng(seed)
+    phone = rng.normal(size=(1, T, 768)).astype(np.float32)
+    pitch = rng.integers(1, 255, size=(1, T)).astype(np.int64)
+    nsff0 = (rng.random((1, T)).astype(np.float32) * 300)
+    nsff0[0, T // 2:] = 0.0
+    return phone, pitch, nsff0, np.array([T], np.int64), np.array([1], np.int64)
+
+
+def _run_infer_pair(tm, fm, params, rate=None):
+    from rvc_tpu.models.synthesizer import Synthesizer as FlaxSynth
+
+    phone, pitch, nsff0, lengths, sid = _infer_inputs()
+    with torch.no_grad(), rc.zero_torch_noise():
+        o_ref = tm.infer(
+            torch.from_numpy(phone), torch.from_numpy(lengths),
+            torch.from_numpy(pitch), torch.from_numpy(nsff0),
+            torch.from_numpy(sid),
+            rate=torch.tensor(rate) if rate is not None else None,
+        )[0].numpy()[0, 0]
+    o_our, _ = fm.apply(
+        {"params": params},
+        jnp.asarray(phone), jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(pitch, jnp.int32), jnp.asarray(nsff0),
+        jnp.asarray(sid, jnp.int32),
+        method=FlaxSynth.infer, rngs={"noise": jax.random.PRNGKey(0)},
+        rate=rate,
+    )
+    o_our = np.asarray(o_our)[0, :, 0]
+    n = min(len(o_ref), len(o_our))
+    assert n > 0
+    rel = np.abs(o_ref[:n] - o_our[:n]).max() / max(np.abs(o_ref).max(), 1e-9)
+    return len(o_ref), len(o_our), rel
+
+
+@pytest.mark.parametrize("vocoder,gin,tol", [
+    ("HiFi-GAN", 8, 5e-4),
+    ("MRF HiFi-GAN", 8, 5e-4),
+    # reference RefineGAN hardcodes a 256-ch cond conv (refinegan.py:340);
+    # AdaIN/interp orderings accumulate slightly more fp drift
+    ("RefineGAN", 256, 5e-3),
+])
+def test_synthesizer_infer_parity(vocoder, gin, tol):
+    tm, fm, params = _build_pair(vocoder, gin)
+    n_ref, n_our, rel = _run_infer_pair(tm, fm, params)
+    assert n_ref == n_our
+    assert rel < tol, f"{vocoder}: rel err {rel:.2e}"
+
+
+def test_synthesizer_infer_rate_parity():
+    """The streaming `rate` head-trim must match synthesizers.py:250-253."""
+    tm, fm, params = _build_pair("HiFi-GAN", 8)
+    n_ref, n_our, rel = _run_infer_pair(tm, fm, params, rate=0.5)
+    assert n_ref == n_our
+    assert rel < 5e-4
+
+
+def test_synthesizer_training_forward_parity():
+    """Training forward (posterior + flow fwd + slice + decode) in zero-noise:
+    z = m_q (posterior sample zeroed), slice ids = 0 (torch.rand zeroed)."""
+    from rvc_tpu.models.synthesizer import Synthesizer as FlaxSynth
+
+    tm, fm, params = _build_pair("HiFi-GAN", 8)
+    T = 40
+    rng = np.random.default_rng(2)
+    phone = rng.normal(size=(1, T, 768)).astype(np.float32)
+    pitch = rng.integers(1, 255, size=(1, T)).astype(np.int64)
+    pitchf = (rng.random((1, T)).astype(np.float32) * 300)
+    spec = np.abs(rng.normal(size=(1, 257, T))).astype(np.float32)
+    lengths = np.array([T], np.int64)
+    sid = np.array([1], np.int64)
+
+    with torch.no_grad(), rc.zero_torch_noise():
+        o_ref, ids_ref, _, _, vae_ref = tm(
+            torch.from_numpy(phone), torch.from_numpy(lengths),
+            torch.from_numpy(pitch), torch.from_numpy(pitchf),
+            torch.from_numpy(spec), torch.from_numpy(lengths),
+            torch.from_numpy(sid),
+        )
+    o_ref = o_ref.numpy()[0, 0]
+
+    out = fm.apply(
+        {"params": params},
+        jnp.asarray(phone), jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(pitch, jnp.int32), jnp.asarray(pitchf),
+        jnp.asarray(np.transpose(spec, (0, 2, 1))),  # ours is NTC
+        jnp.asarray(lengths, jnp.int32), jnp.asarray(sid, jnp.int32),
+        ids_slice=jnp.zeros((1,), jnp.int32),
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    o_our = np.asarray(out[0])[0, :, 0]
+    assert int(ids_ref[0]) == 0
+    n = min(len(o_ref), len(o_our))
+    rel = np.abs(o_ref[:n] - o_our[:n]).max() / max(np.abs(o_ref).max(), 1e-9)
+    assert rel < 5e-4, f"training fwd rel err {rel:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# RMVPE
+# ---------------------------------------------------------------------------
+
+def test_rmvpe_end_to_end_parity(tmp_path):
+    """Full infer_from_audio chain vs the reference RMVPE0Predictor
+    (RMVPE.py:420-512) with a random-weight E2E(4, 1, (2, 2))."""
+    from rvc.lib.predictors.RMVPE import E2E, RMVPE0Predictor
+
+    from rvc_tpu.predictors.rmvpe import RMVPE
+
+    torch.manual_seed(0)
+    pt = str(tmp_path / "rmvpe.pt")
+    torch.save(E2E(4, 1, (2, 2)).state_dict(), pt)
+    ref = RMVPE0Predictor(pt, device="cpu")
+    ours = RMVPE.from_torch_checkpoint(pt)
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 16000
+    audio = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+    f0_ref = ref.infer_from_audio(audio, thred=0.03)
+    f0_our = ours.infer_from_audio(audio, thred=0.03)
+    n = min(len(f0_ref), len(f0_our))
+    assert abs(len(f0_ref) - len(f0_our)) <= 1
+    d = np.abs(f0_ref[:n] - f0_our[:n])
+    assert d.max() < 0.1, f"RMVPE f0 max err {d.max():.4f} Hz"
+
+
+# ---------------------------------------------------------------------------
+# FCPE (torchfcpe)
+# ---------------------------------------------------------------------------
+
+def test_fcpe_mel_front_parity():
+    """fcpe_mel vs torchfcpe MelModule (mel_extractor.py:95-152)."""
+    from rvc.lib.predictors.torchfcpe.mel_extractor import MelModule
+
+    from rvc_tpu.predictors.fcpe import fcpe_mel
+
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=16000).astype(np.float32) * 0.2
+    mm = MelModule(16000, 128, 1024, 1024, 160, 0, 8000)
+    with torch.no_grad():
+        mel_ref = mm(torch.from_numpy(audio[None, :, None])).numpy()
+    mel_our = np.asarray(fcpe_mel(jnp.asarray(audio[None])))
+    assert mel_ref.shape == mel_our.shape
+    assert np.abs(mel_ref - mel_our).max() < 1e-3
+
+
+def test_fcpe_model_and_decoder_parity(tmp_path):
+    """CFNaiveMelPE forward (conv_only, the bundled-release architecture
+    cannot be matched in its Performer branch — documented) + the
+    local-argmax cents decoder (models.py:149-180)."""
+    from rvc.lib.predictors.torchfcpe.models import CFNaiveMelPE as TorchPE
+
+    from rvc_tpu.predictors.fcpe import FCPE, decode_latent
+
+    torch.manual_seed(0)
+    tm = TorchPE(input_channels=128, out_dims=360, hidden_dims=64, n_layers=2,
+                 n_heads=2, f0_max=1975.5, f0_min=32.70, conv_only=True).eval()
+    pt = str(tmp_path / "fcpe.pt")
+    torch.save({"model": tm.state_dict()}, pt)
+    ours = FCPE.from_torch_checkpoint(pt)
+    assert ours.model.conv_only and ours.model.n_layers == 2
+
+    rng = np.random.default_rng(5)
+    mel = rng.normal(size=(1, 64, 128)).astype(np.float32)
+    with torch.no_grad():
+        lat_ref = tm(torch.from_numpy(mel)).numpy()
+    lat_our = np.asarray(ours.model.apply({"params": ours.params},
+                                          jnp.asarray(mel)))
+    assert np.abs(lat_ref - lat_our).max() < 1e-3
+
+    with torch.no_grad():
+        cents = tm.latent2cents_local_decoder(
+            torch.from_numpy(lat_ref), threshold=0.05
+        ).numpy()[0, :, 0]
+    f0_ref = np.where(cents > 0, 10 * 2 ** (cents / 1200), 0.0)
+    f0_our = np.asarray(decode_latent(jnp.asarray(lat_ref[0]), 0.05))
+    assert np.abs(np.nan_to_num(f0_ref) - f0_our).max() < 0.01
+
+
+# ---------------------------------------------------------------------------
+# mel_processing numerics
+# ---------------------------------------------------------------------------
+
+def test_mel_filterbank_parity():
+    from librosa.filters import mel as librosa_mel
+
+    from rvc_tpu.ops.mel import mel_filterbank
+
+    for (sr, n_fft, n_mels, fmin, fmax, htk) in [
+        (48000, 2048, 128, 0.0, None, False),
+        (32000, 1024, 80, 0.0, None, False),
+        (16000, 1024, 128, 30.0, 8000.0, True),
+        (16000, 1024, 128, 0.0, 8000.0, False),
+    ]:
+        ref = librosa_mel(sr=sr, n_fft=n_fft, n_mels=n_mels,
+                          fmin=fmin, fmax=fmax, htk=htk)
+        ours = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk)
+        assert np.abs(ref - ours).max() < 1e-7
+
+
+def test_spectrogram_and_mel_parity():
+    from rvc.train import mel_processing as MP
+
+    from rvc_tpu.ops.stft import mel_spectrogram, spectrogram
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(2, 48000)).astype(np.float32) * 0.3
+    yt = torch.from_numpy(y)
+    n_fft, hop, win = 2048, 480, 2048
+    spec_ref = MP.spectrogram_torch(yt, n_fft, hop, win).numpy()
+    spec_our = np.asarray(spectrogram(jnp.asarray(y), n_fft, hop, win))
+    assert np.abs(spec_ref - spec_our.transpose(0, 2, 1)).max() < 1e-4
+
+    mel_ref = MP.mel_spectrogram_torch(
+        yt, n_fft, 128, 48000, hop, win, 0.0, None
+    ).numpy()
+    mel_our = np.asarray(mel_spectrogram(
+        jnp.asarray(y), n_fft, 128, 48000, hop, win, 0.0, None
+    ))
+    assert np.abs(mel_ref - mel_our.transpose(0, 2, 1)).max() < 1e-4
+
+
+def test_multiscale_mel_loss_parity():
+    from rvc.train.mel_processing import MultiScaleMelSpectrogramLoss
+
+    from rvc_tpu.train.losses import multiscale_mel_loss
+
+    rng = np.random.default_rng(0)
+    real = rng.normal(size=(2, 17280)).astype(np.float32) * 0.3
+    fake = real + rng.normal(size=real.shape).astype(np.float32) * 0.05
+    ref = MultiScaleMelSpectrogramLoss(sample_rate=48000)(
+        torch.from_numpy(real[:, None]), torch.from_numpy(fake[:, None])
+    ).item()
+    ours = float(multiscale_mel_loss(
+        jnp.asarray(real), jnp.asarray(fake), 48000
+    ))
+    assert abs(ref - ours) / abs(ref) < 1e-4
