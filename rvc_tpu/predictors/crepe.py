@@ -156,10 +156,15 @@ class CREPE:
         )
         sal_parts = []
         for i in range(0, len(frames), batch_size):
+            chunk = frames[i : i + batch_size]
+            n = len(chunk)
+            if n < batch_size:
+                # pad the remainder batch to the canonical size so jit
+                # compiles exactly one program per batch_size
+                chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
             sal_parts.append(np.asarray(self._salience(
-                self.params, self.batch_stats,
-                jnp.asarray(frames[i : i + batch_size]),
-            )))
+                self.params, self.batch_stats, jnp.asarray(chunk),
+            ))[:n])
         salience = np.concatenate(sal_parts, axis=0)
 
         # restrict to [fmin, fmax] bins

@@ -218,12 +218,17 @@ class FCPE:
         radii are handled by the caller and ignored here."""
         if filter_radius is not None and 0.0 < float(filter_radius) < 1.0:
             threshold = float(filter_radius)
-        audio = np.asarray(audio, np.float32)[None, :]
-        n_frames = audio.shape[1] // HOP  # torchfcpe framing (see fcpe_mel)
+        audio = np.asarray(audio, np.float32)
+        n_frames = len(audio) // HOP  # torchfcpe framing (see fcpe_mel)
+        # bucket the length so jit compiles per 1s bucket, not per file
+        from .bucketing import bucket_samples, reflect_to
+
+        padded = reflect_to(audio, bucket_samples(len(audio)))[None, :]
+        n_frames_pad = padded.shape[1] // HOP
         f0 = np.asarray(
-            self._infer(self.params, jnp.asarray(audio), n_frames,
+            self._infer(self.params, jnp.asarray(padded), n_frames_pad,
                         jnp.float32(threshold))
-        )
+        )[:n_frames]
         if p_len is not None and p_len != len(f0):
             # nan-masked linear resize (reference fcpe.py:69-77 _resize_f0)
             src = f0.astype(np.float64)

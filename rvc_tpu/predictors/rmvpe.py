@@ -25,6 +25,8 @@ from flax import linen as nn
 
 from ..ops.mel import mel_filterbank
 from ..ops.stft import stft_magnitude
+from .bucketing import bucket_samples as _bucket_samples
+from .bucketing import reflect_to as _reflect_to
 
 N_MELS = 128
 N_CLASS = 360
@@ -202,14 +204,19 @@ class RMVPE:
         self.batch_stats = batch_stats or {}
 
         @functools.partial(jax.jit, static_argnames=("n_frames",))
-        def _infer(params, batch_stats, audio, n_frames):
+        def _infer(params, batch_stats, audio, thred, n_frames):
+            """audio [B, T_pad] -> f0 [B, n_frames]. T_pad is a bucketed
+            static shape, so only one XLA program compiles per bucket
+            (lengths are sliced on the host)."""
             mel = rmvpe_mel(audio)[:, :n_frames]
             pad = (-n_frames) % 32
             mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
             hidden = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, mel
             )
-            return decode_salience(hidden[0, :n_frames])
+            return jax.vmap(lambda h: decode_salience(h, thred))(
+                hidden[:, :n_frames]
+            )
 
         self._infer = _infer
 
@@ -222,11 +229,26 @@ class RMVPE:
         return cls(params, stats)
 
     def infer_from_audio(self, audio: np.ndarray, thred: float = 0.03) -> np.ndarray:
-        """audio: [T] 16 kHz numpy -> f0 [T//160 + 1] (centered stft frames)."""
-        audio = np.asarray(audio, np.float32)[None, :]
-        n_frames = audio.shape[1] // HOP + 1
-        f0 = self._infer(self.params, self.batch_stats, jnp.asarray(audio), n_frames)
-        return np.asarray(f0)
+        """audio: [T] 16 kHz numpy -> f0 [T//160 + 1] (centered stft frames).
+
+        Audio is reflect-padded to a canonical 1 s bucket (see
+        predictors/bucketing.py) so jit compiles one program per bucket
+        instead of one per distinct file length."""
+        return self.infer_batch([np.asarray(audio, np.float32)], thred)[0]
+
+    def infer_batch(self, audios: "list[np.ndarray]",
+                    thred: float = 0.03) -> "list[np.ndarray]":
+        """Batch several wavs through ONE jitted program (pad to the group's
+        bucket, slice true frame counts after)."""
+        t_pad = _bucket_samples(max(len(a) for a in audios))
+        batch = np.stack([_reflect_to(np.asarray(a, np.float32), t_pad)
+                          for a in audios])
+        n_frames_pad = t_pad // HOP + 1
+        f0 = np.asarray(self._infer(
+            self.params, self.batch_stats, jnp.asarray(batch),
+            jnp.float32(thred), n_frames_pad,
+        ))
+        return [f0[i, : len(a) // HOP + 1] for i, a in enumerate(audios)]
 
 
 # ---------------------------------------------------------------------------

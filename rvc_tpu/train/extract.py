@@ -73,18 +73,28 @@ class FeatureExtractor:
         )
 
     def compute_f0(self, audio: np.ndarray) -> np.ndarray:
-        n_frames = len(audio) // HOP + 1
+        return self.compute_f0_batch([audio])[0]
+
+    def compute_f0_batch(self, wavs: List[np.ndarray]) -> List[np.ndarray]:
+        """Device-batched f0: RMVPE runs `batch_size` files per jitted call
+        (RMVPE.infer_batch pads each group to a shared length bucket)."""
+        outs: List[np.ndarray] = []
         if self.f0_method == "rmvpe" and self._rmvpe is not None:
-            f0 = self._rmvpe.infer_from_audio(audio)
+            for i in range(0, len(wavs), self.batch_size):
+                outs.extend(self._rmvpe.infer_batch(wavs[i : i + self.batch_size]))
         elif self.f0_method in ("yin", "pm"):
             from ..predictors.dsp_f0 import yin_f0_np
 
-            f0 = yin_f0_np(audio)
+            outs = [yin_f0_np(w) for w in wavs]
         else:
             raise ValueError(f"unsupported f0 method {self.f0_method!r}")
-        if len(f0) < n_frames:
-            f0 = np.pad(f0, (0, n_frames - len(f0)))
-        return f0[:n_frames].astype(np.float64)
+        result = []
+        for w, f0 in zip(wavs, outs):
+            n_frames = len(w) // HOP + 1
+            if len(f0) < n_frames:
+                f0 = np.pad(f0, (0, n_frames - len(f0)))
+            result.append(f0[:n_frames].astype(np.float64))
+        return result
 
     def compute_embeddings_batch(self, wavs: List[np.ndarray]) -> List[np.ndarray]:
         """Pad a list of 16k wavs to a common bucket, run one jitted forward,
@@ -134,8 +144,7 @@ def run_extraction(
 
     wavs = [load_audio(os.path.join(wav16_dir, f"{n}.wav"), SR16K) for n in names]
 
-    for n, w in zip(names, wavs):
-        f0 = fx.compute_f0(w)
+    for n, f0 in zip(names, fx.compute_f0_batch(wavs)):
         np.save(os.path.join(f0v_dir, f"{n}.wav.npy"), f0, allow_pickle=False)
         np.save(
             os.path.join(f0_dir, f"{n}.wav.npy"), coarse_f0_train(f0),

@@ -179,6 +179,46 @@ def test_fcpe_filter_radius_threshold_and_gap_fill():
         assert np.all(f0_default[first:last + 1] > 0)
 
 
+@pytest.mark.slow
+def test_predictor_bucketing_compiles_once_per_bucket():
+    """Different file lengths in the same 1 s bucket must reuse one XLA
+    program (predictors/bucketing.py); a new bucket adds exactly one."""
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
+
+    tiny = RMVPE(model=E2EModel(n_blocks=1, en_de_layers=2, inter_layers=1,
+                                en_out_channels=2, gru_hidden=4))
+    rng = np.random.default_rng(0)
+    for t in (15000, 15500, 15999):
+        f0 = tiny.infer_from_audio(rng.normal(size=t).astype(np.float32) * 0.1)
+        assert len(f0) == t // 160 + 1
+    assert tiny._infer._cache_size() == 1
+    tiny.infer_from_audio(rng.normal(size=17000).astype(np.float32) * 0.1)
+    assert tiny._infer._cache_size() == 2
+    # batch API: one program for a group of mixed lengths
+    outs = tiny.infer_batch([
+        rng.normal(size=t).astype(np.float32) for t in (14000, 15000, 12345)
+    ])
+    assert [len(o) for o in outs] == [14000 // 160 + 1, 15000 // 160 + 1,
+                                      12345 // 160 + 1]
+    assert tiny._infer._cache_size() == 3  # batch=3 @ bucket 16000 is new
+
+
+@pytest.mark.slow
+def test_rmvpe_bucketed_matches_frame_count_and_batch():
+    """infer_batch == per-file infer_from_audio on identical audio."""
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
+
+    tiny = RMVPE(model=E2EModel(n_blocks=1, en_de_layers=2, inter_layers=1,
+                                en_out_channels=2, gru_hidden=4))
+    rng = np.random.default_rng(1)
+    wavs = [rng.normal(size=t).astype(np.float32) * 0.2
+            for t in (8000, 12800)]
+    singles = [tiny.infer_from_audio(w) for w in wavs]
+    batched = tiny.infer_batch(wavs)
+    for s, b in zip(singles, batched):
+        np.testing.assert_allclose(s, b, atol=1e-2)  # Hz; fp batch noise
+
+
 def test_export_pth_reference_layout(tmp_path):
     """export_rvc_pth writes 'weight' + the 18-element config list the
     reference loader reads (infer.py:469-483)."""
