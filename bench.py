@@ -1,29 +1,38 @@
-"""Benchmark: end-to-end voice-conversion throughput on one chip.
+"""Benchmark: end-to-end voice conversion + training throughput on one chip.
 
-Measures the jitted conversion graph (HuBERT content encoder -> retrieval-free
-feature path -> flagship 48k NSF-HiFi-GAN Synthesizer) converting 10 s of
-16 kHz audio, and reports real-time factor (audio seconds per wall second).
+Primary metric: REAL end-to-end conversion through the production Pipeline —
+RMVPE f0 (bucketed jit), faiss-equivalent retrieval blend (index_rate 0.75,
+65k vectors), protect blend, HuBERT content encoder, flagship 48k
+NSF-HiFi-GAN — converting 10 s of 16 kHz audio, including all host DSP
+(high-pass, windowing, quantization). Weights are random (structurally
+identical compute; the env has no pretrained checkpoints).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the driver-defined north star of 50x
-real-time per chip (BASELINE.json; the reference publishes no numbers —
-BASELINE.md documents that the baseline had to be driver-defined).
+Also measured into the same JSON line:
+  - graph_xrt: the jitted HuBERT+synthesizer graph alone (round-1 metric,
+    kept for continuity)
+  - train_steps_per_sec / train_audio_sec_per_sec: full-size 48k fused GAN
+    train step, batch 8 (the second BASELINE.md north star)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline divides by the driver-defined north star of 50x real-time per
+chip (BASELINE.json; the reference publishes no benchmark numbers —
+BASELINE.md documents this).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def _abstract_init(init_fn, *args) -> dict:
+def _abstract_init(init_fn, *args):
     """Materialize parameters from eval_shape (no init compile): the bench
     measures throughput, not quality, so parameter values are arbitrary."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     shapes = jax.eval_shape(init_fn, *args)
     rng = np.random.default_rng(0)
@@ -38,15 +47,80 @@ def _abstract_init(init_fn, *args) -> dict:
     return jax.tree.map(make, shapes)
 
 
-def main() -> None:
+def bench_full_pipeline() -> dict:
+    """10 s conversion through infer.Pipeline with RMVPE + retrieval."""
     import jax
+    import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.embedders import FlaxHubert, HubertConfig
+    from rvc_tpu.infer.pipeline import Pipeline, PipelineConfig
+    from rvc_tpu.models.synthesizer import Synthesizer
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
 
+    cfg = get_config(48000)
+    model = Synthesizer.from_config(cfg)
+    hubert = FlaxHubert(HubertConfig())
+
+    seconds = 10.0
+    t16 = int(seconds * 16000)
+    t_frames = 64  # init-shape only; infer re-traces per real length
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    audio16_probe = jnp.zeros((1, 3200), jnp.float32)
+    hub_params = _abstract_init(
+        lambda k, a: hubert.init(k, a), key, audio16_probe
+    )["params"]
+    synth_vars = _abstract_init(
+        lambda rngs, *a: model.init(rngs, *a),
+        {"params": key, "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t_frames, 768)),
+        jnp.asarray([t_frames], jnp.int32),
+        jnp.full((1, t_frames), 100, jnp.int32),
+        jnp.full((1, t_frames), 220.0, jnp.float32),
+        jnp.zeros((1, t_frames, cfg.data.spec_channels)),
+        jnp.asarray([t_frames], jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+
+    rmvpe_model = E2EModel()
+    rmvpe_vars = _abstract_init(
+        lambda k, m: rmvpe_model.init(k, m), key, jnp.zeros((1, 32, 128))
+    )
+    rmvpe = RMVPE(rmvpe_vars["params"], rmvpe_vars.get("batch_stats", {}),
+                  model=rmvpe_model)
+
+    pipe = Pipeline(
+        48000, model, synth_vars["params"], hubert, hub_params,
+        PipelineConfig(), upsample_factor=cfg.upsample_factor,
+    )
+    index_vectors = rng.normal(size=(65536, 768)).astype(np.float32)
+    tt = np.arange(t16) / 16000
+    audio = (0.4 * np.sin(2 * np.pi * 220 * tt)
+             + 0.05 * rng.normal(size=t16)).astype(np.float32)
+
+    kwargs = dict(
+        sid=0, pitch_shift=2, f0_method="rmvpe",
+        index_vectors=index_vectors, index_rate=0.75,
+        protect=0.33, filter_radius=3,
+        predictors={"rmvpe": rmvpe.infer_from_audio},
+    )
+
+    out = pipe.pipeline(audio, **kwargs)  # compile warmup
+    assert np.isfinite(out).all()
+
+    n_runs = 5
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = pipe.pipeline(audio, **kwargs)
+    elapsed = (time.perf_counter() - t0) / n_runs
+    return {"full_xrt": seconds / elapsed, "out_len": int(len(out))}
+
+
+def bench_graph_only() -> float:
+    """Round-1 continuity metric: one jitted HuBERT+synthesizer graph."""
+    import jax
     import jax.numpy as jnp
 
     from rvc_tpu.configs import get_config
@@ -58,9 +132,7 @@ def main() -> None:
     hubert = FlaxHubert(HubertConfig())
 
     seconds = 10.0
-    sr16 = 16000
-    t16 = int(seconds * sr16)
-    # latent frames at 100 Hz after the x2 feature upsample
+    t16 = int(seconds * 16000)
     t_frames = 2 * ((t16 - 400) // 320 + 1)
 
     rng = np.random.default_rng(0)
@@ -94,22 +166,96 @@ def main() -> None:
 
     args = (hub_params, synth_vars, audio16, pitch, pitchf, lengths, sid,
             jax.random.PRNGKey(2))
-    out = convert(*args)
-    jax.block_until_ready(out)  # compile
-
+    jax.block_until_ready(convert(*args))
     n_runs = 5
     t0 = time.perf_counter()
-    for i in range(n_runs):
+    out = None
+    for _ in range(n_runs):
         out = convert(*args)
     jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / n_runs
+    return seconds / ((time.perf_counter() - t0) / n_runs)
 
-    xrt = seconds / elapsed
+
+def bench_train(batch_size: int = 8, frames: int = 400) -> dict:
+    """Full-size 48k fused GAN train step throughput (north star #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.models.discriminators import MultiPeriodDiscriminator
+    from rvc_tpu.models.synthesizer import Synthesizer
+    from rvc_tpu.train.optimizers import make_optimizer
+    from rvc_tpu.train.step import create_train_state, make_train_step
+
+    cfg = get_config(48000)
+    model_g = Synthesizer.from_config(cfg)
+    model_d = MultiPeriodDiscriminator()
+    B, T = batch_size, frames
+    rng = np.random.default_rng(0)
+    batch = {
+        "phone": jnp.asarray(rng.normal(size=(B, T, 768)), jnp.float32),
+        "phone_lengths": jnp.full((B,), T, jnp.int32),
+        "pitch": jnp.full((B, T), 100, jnp.int32),
+        "pitchf": jnp.full((B, T), 220.0, jnp.float32),
+        "spec": jnp.asarray(
+            np.abs(rng.normal(size=(B, T, cfg.data.spec_channels))), jnp.float32
+        ),
+        "spec_lengths": jnp.full((B,), T, jnp.int32),
+        "wave": jnp.asarray(
+            rng.normal(size=(B, T * cfg.data.hop_length, 1)) * 0.1, jnp.float32
+        ),
+        "sid": jnp.zeros((B,), jnp.int32),
+    }
+    tx_g = make_optimizer("adamw", 1e-4)
+    tx_d = make_optimizer("adamw", 1e-4)
+    init_fn = jax.jit(
+        lambda r, b: create_train_state(r, cfg, model_g, model_d, tx_g, tx_d, b)
+    )
+    state = init_fn(jax.random.PRNGKey(0), batch)
+    jax.block_until_ready(state.params_g)
+    step = jax.jit(
+        make_train_step(cfg, model_g, model_d, tx_g, tx_d, steps_per_epoch=100),
+        donate_argnums=(0,),
+    )
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    n_steps = 5
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n_steps
+    return {
+        "train_steps_per_sec": 1.0 / dt,
+        "train_audio_sec_per_sec": B * cfg.train.segment_size / 48000 / dt,
+    }
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    record = {}
+    full = bench_full_pipeline()
+    record["graph_xrt"] = round(bench_graph_only(), 2)
+    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1":
+        try:
+            record.update({k: round(v, 3) for k, v in bench_train().items()})
+        except Exception as e:  # train bench must not sink the whole run
+            record["train_error"] = str(e)[:200]
+
+    xrt = full["full_xrt"]
     print(json.dumps({
-        "metric": "vc_realtime_factor_48k",
+        "metric": "vc_e2e_realtime_factor_48k",
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 50.0, 3),
+        **record,
     }))
 
 

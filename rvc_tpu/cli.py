@@ -70,7 +70,10 @@ def _add_infer_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--export_format", type=str, default="WAV",
                    choices=["WAV", "MP3", "FLAC", "OGG", "M4A"])
     p.add_argument("--f0_file", type=str, default=None)
-    p.add_argument("--embedder_model", type=str, default="contentvec")
+    p.add_argument("--embedder_model", type=str, default="contentvec",
+                   choices=["contentvec", "spin", "chinese-hubert-base",
+                            "japanese-hubert-base", "korean-hubert-base",
+                            "custom"])
     p.add_argument("--embedder_model_custom", type=str, default=None)
     p.add_argument("--sid", type=int, default=0)
     p.add_argument("--formant_shifting", type=_bool, default=False)
@@ -147,7 +150,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["crepe", "crepe-tiny", "rmvpe", "fcpe", "yin"])
     p.add_argument("--hop_length", type=int, default=128)
     p.add_argument("--sample_rate", type=int, required=True)
-    p.add_argument("--embedder_model", type=str, default="contentvec")
+    p.add_argument("--embedder_model", type=str, default="contentvec",
+                   choices=["contentvec", "spin", "chinese-hubert-base",
+                            "japanese-hubert-base", "korean-hubert-base",
+                            "custom"])
     p.add_argument("--embedder_model_custom", type=str, default=None)
     p.add_argument("--include_mutes", type=int, default=2)
     p.add_argument("--rmvpe_ckpt", type=str,
@@ -290,7 +296,7 @@ def main(argv=None) -> int:
             rmvpe_ckpt=args.rmvpe_ckpt if os.path.exists(args.rmvpe_ckpt) else None,
             embedder_ckpt=args.embedder_model_custom,
             include_mutes=args.include_mutes, sample_rate=args.sample_rate,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, embedder_model=args.embedder_model,
         )
         print(f"extraction complete for {exp_dir}")
 

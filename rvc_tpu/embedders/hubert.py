@@ -316,3 +316,62 @@ def load_embedder(
             rng = jax.random.PRNGKey(0)
         params = module.init(rng, jnp.zeros((1, 3200)))["params"]
     return module, params
+
+
+# Named embedder registry (reference rvc/lib/utils.py:96-146). Each name maps
+# to a local directory under models/embedders/; the reference downloads the
+# checkpoint from HF on first use — in a zero-egress environment the user
+# places pytorch_model.bin there instead.
+EMBEDDER_REGISTRY = {
+    "contentvec": "contentvec",
+    "spin": "spin",
+    "chinese-hubert-base": "chinese_hubert_base",
+    "japanese-hubert-base": "japanese_hubert_base",
+    "korean-hubert-base": "korean_hubert_base",
+}
+
+
+def resolve_embedder_path(
+    embedder_model: str = "contentvec",
+    embedder_model_custom: Optional[str] = None,
+    root: Optional[str] = None,
+) -> Optional[str]:
+    """Name -> local checkpoint path, or None when absent (random-init
+    fallback keeps pipelines runnable). Mirrors load_embedding's dispatch:
+    'custom' uses the explicit path, names resolve through the registry."""
+    import os
+
+    if embedder_model == "custom" or embedder_model_custom:
+        if embedder_model_custom and os.path.exists(embedder_model_custom):
+            return embedder_model_custom
+        if embedder_model == "custom":
+            print(f"custom embedder not found: {embedder_model_custom}; "
+                  "falling back to contentvec")
+            embedder_model = "contentvec"
+    if embedder_model not in EMBEDDER_REGISTRY:
+        raise ValueError(
+            f"unknown embedder {embedder_model!r}; expected one of "
+            f"{sorted(EMBEDDER_REGISTRY)} or 'custom'"
+        )
+    root = root or os.path.join("models", "embedders")
+    base = os.path.join(root, EMBEDDER_REGISTRY[embedder_model])
+    for fn in ("pytorch_model.bin", "model.safetensors", "model.pt"):
+        p = os.path.join(base, fn)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def load_embedder_by_name(
+    embedder_model: str = "contentvec",
+    embedder_model_custom: Optional[str] = None,
+    cfg: HubertConfig = HubertConfig(),
+):
+    """Registry-aware loader: (module, params). Missing checkpoints degrade
+    to random init with a warning (zero-egress stand-in for the reference's
+    auto-download)."""
+    path = resolve_embedder_path(embedder_model, embedder_model_custom)
+    if path is None:
+        print(f"embedder {embedder_model!r} checkpoint not found under "
+              "models/embedders/; using random-initialized weights")
+    return load_embedder(path, cfg)

@@ -70,8 +70,11 @@ class VoiceConverter:
         key = embedder_model_custom or embedder_model
         if key == self.last_embedder and self.embedder is not None:
             return
-        path = embedder_model_custom if embedder_model_custom else None
-        self.embedder, self.embedder_params = load_embedder(path)
+        from ..embedders import load_embedder_by_name
+
+        self.embedder, self.embedder_params = load_embedder_by_name(
+            embedder_model, embedder_model_custom
+        )
         self.last_embedder = key
 
     def get_vc(self, model_path: str, embedder_model: str = "contentvec",
@@ -293,13 +296,22 @@ class VoiceConverter:
 
     @staticmethod
     def _export(path: str, export_format: str) -> str:
-        """WAV native; other formats via ffmpeg when present
-        (reference uses ffmpeg/pydub, infer.py:95-127)."""
+        """WAV + FLAC native (native/flac_codec.cpp); other formats via
+        ffmpeg when present (reference uses ffmpeg/pydub, infer.py:95-127)."""
         if export_format.upper() == "WAV":
             return path
         import shutil
         import subprocess
 
+        if export_format.upper() == "FLAC":
+            from ..utils.native import flac_write
+
+            out = os.path.splitext(path)[0] + ".flac"
+            data, sr = __import__(
+                "rvc_tpu.utils.audio_io", fromlist=["read_audio"]
+            ).read_audio(path)
+            if flac_write(out, data, sr):
+                return out
         if shutil.which("ffmpeg") is None:
             print(f"ffmpeg unavailable; keeping WAV for requested {export_format}")
             return path

@@ -51,6 +51,7 @@ class FeatureExtractor:
         rmvpe_ckpt: Optional[str] = None,
         embedder_ckpt: Optional[str] = None,
         batch_size: int = 8,
+        embedder_model: str = "contentvec",
     ):
         import jax
 
@@ -65,8 +66,10 @@ class FeatureExtractor:
                 if rmvpe_ckpt and os.path.exists(rmvpe_ckpt)
                 else RMVPE()
             )
-        from ..embedders import load_embedder
+        from ..embedders import load_embedder, resolve_embedder_path
 
+        if embedder_ckpt is None:
+            embedder_ckpt = resolve_embedder_path(embedder_model)
         self.embedder, self.embedder_params = load_embedder(embedder_ckpt)
         self._jit_embed = jax.jit(
             lambda p, a: self.embedder.apply({"params": p}, a)
@@ -128,6 +131,7 @@ def run_extraction(
     include_mutes: int = 2,
     sample_rate: int = 48000,
     batch_size: int = 8,
+    embedder_model: str = "contentvec",
 ) -> None:
     """Run both phases + write config.json and filelist.txt."""
     wav16_dir = os.path.join(exp_dir, "sliced_audios_16k")
@@ -140,7 +144,8 @@ def run_extraction(
     names = sorted(
         fn[:-4] for fn in os.listdir(wav16_dir) if fn.endswith(".wav")
     )
-    fx = FeatureExtractor(f0_method, rmvpe_ckpt, embedder_ckpt, batch_size)
+    fx = FeatureExtractor(f0_method, rmvpe_ckpt, embedder_ckpt, batch_size,
+                          embedder_model=embedder_model)
 
     wavs = [load_audio(os.path.join(wav16_dir, f"{n}.wav"), SR16K) for n in names]
 

@@ -76,6 +76,49 @@ def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def _read_via_ffmpeg(path: str) -> tuple[np.ndarray, int] | None:
+    """Decode any format through an external ffmpeg when one exists
+    (the reference shells out the same way, rvc/lib/utils.py + pydub)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        return None
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le", "-ac", "1",
+         "-ar", "48000", "-"],
+        capture_output=True,
+    )
+    if proc.returncode != 0:
+        raise ValueError(f"ffmpeg failed on {path}: {proc.stderr.decode()[:200]}")
+    return np.frombuffer(proc.stdout, np.float32).copy(), 48000
+
+
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Read any supported container -> (float32 [T]/[T, C], sr).
+
+    WAV via scipy; FLAC via the native C++ codec (native/flac_codec.cpp);
+    mp3/ogg/m4a via external ffmpeg when available.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:4] == b"RIFF":
+        return read_wav(path)
+    if magic == b"fLaC":
+        from . import native
+
+        out = native.flac_read(path)
+        if out is not None:
+            return out
+    via = _read_via_ffmpeg(path)
+    if via is not None:
+        return via
+    raise ValueError(
+        f"cannot decode {path!r}: WAV and FLAC are supported natively; "
+        "mp3/ogg/m4a need an ffmpeg binary on PATH"
+    )
+
+
 def load_audio(path: str, target_sr: int | None = None) -> np.ndarray:
     """Load audio as mono float32, optionally resampled.
 
@@ -84,7 +127,7 @@ def load_audio(path: str, target_sr: int | None = None) -> np.ndarray:
     """
     if not os.path.exists(path):
         raise FileNotFoundError(f"audio file not found: {path}")
-    data, sr = read_wav(path)
+    data, sr = read_audio(path)
     data = to_mono(data)
     if target_sr is not None and sr != target_sr:
         data = resample(data, sr, target_sr)
@@ -92,5 +135,12 @@ def load_audio(path: str, target_sr: int | None = None) -> np.ndarray:
 
 
 def save_audio(path: str, data: np.ndarray, sr: int, fmt: str | None = None) -> None:
-    """Save mono/stereo audio; format inferred from extension (WAV only here)."""
+    """Save mono/stereo audio; format from `fmt` or the extension
+    (WAV + FLAC natively; anything else falls back to WAV)."""
+    ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    if ext == "flac":
+        from . import native
+
+        if native.flac_write(path, np.asarray(data), sr):
+            return
     write_wav(path, data, sr)

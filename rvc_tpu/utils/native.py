@@ -25,13 +25,15 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libaudio_engine.so"))
 
 
 def _build() -> bool:
-    src = os.path.join(_NATIVE_DIR, "audio_engine.cpp")
-    if not os.path.exists(src):
+    srcs = [os.path.join(_NATIVE_DIR, n)
+            for n in ("audio_engine.cpp", "flac_codec.cpp")]
+    srcs = [s for s in srcs if os.path.exists(s)]
+    if not srcs:
         return False
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-             "-o", _LIB_PATH, src],
+             "-o", _LIB_PATH, *srcs],
             check=True, capture_output=True, timeout=120,
         )
         return os.path.exists(_LIB_PATH)
@@ -50,6 +52,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "flac_decode"):
+        # stale library from before the FLAC codec existed: rebuild
+        if _build():
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
 
     lib.resample_poly.restype = ctypes.c_int64
     lib.resample_poly.argtypes = [
@@ -66,6 +75,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "flac_decode"):
+        lib.flac_probe.restype = ctypes.c_int32
+        lib.flac_probe.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.flac_decode.restype = ctypes.c_int64
+        lib.flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.flac_encode.restype = ctypes.c_int64
+        lib.flac_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
     _LIB = lib
     return _LIB
 
@@ -116,3 +142,55 @@ def normalize_blend(
     if rc != 0:
         raise ValueError("rejected: peak > 2.5")
     return out
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def flac_read(path: str) -> Optional[tuple]:
+    """Decode a FLAC file -> (float32 [T] or [T, C], sample_rate), or None
+    when the native library is unavailable. Raises ValueError on a corrupt
+    or non-FLAC file."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "flac_decode"):
+        return None
+    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    total = ctypes.c_int64()
+    if lib.flac_probe(_u8ptr(raw), len(raw), ctypes.byref(sr),
+                      ctypes.byref(ch), ctypes.byref(bps),
+                      ctypes.byref(total)) != 0:
+        raise ValueError(f"not a decodable FLAC file: {path}")
+    # total_samples can be 0 (unknown); fall back to a size-based bound
+    cap = total.value if total.value > 0 else len(raw) * 8 // max(bps.value, 1)
+    out = np.empty(cap * ch.value, np.float32)
+    n = lib.flac_decode(_u8ptr(raw), len(raw), _fptr(out), cap)
+    if n < 0:
+        raise ValueError(f"FLAC decode failed: {path}")
+    data = out[: n * ch.value].reshape(n, ch.value)
+    return (data[:, 0] if ch.value == 1 else data), int(sr.value)
+
+
+def flac_write(path: str, data: np.ndarray, sr: int) -> bool:
+    """Encode float32 [-1,1] mono/[T,C] audio as 16-bit FLAC. Returns False
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "flac_encode"):
+        return False
+    x = np.asarray(data, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    inter = np.ascontiguousarray(x.reshape(-1))
+    n = x.shape[0]
+    bound = lib.flac_encode(_fptr(inter), n, channels, sr, None, 0)
+    buf = np.empty(bound, np.uint8)
+    written = lib.flac_encode(_fptr(inter), n, channels, sr, _u8ptr(buf), bound)
+    if written < 0:
+        raise ValueError("FLAC encode failed")
+    with open(path, "wb") as f:
+        f.write(buf[:written].tobytes())
+    return True

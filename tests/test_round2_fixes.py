@@ -219,6 +219,72 @@ def test_rmvpe_bucketed_matches_frame_count_and_batch():
         np.testing.assert_allclose(s, b, atol=1e-2)  # Hz; fp batch noise
 
 
+def test_flac_native_roundtrip(tmp_path):
+    """Native FLAC codec (native/flac_codec.cpp): encode -> decode must be
+    bit-exact at 16-bit, for mono/stereo/partial-frame lengths."""
+    from rvc_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    t = np.arange(9000) / 16000
+    mono = np.clip(0.5 * np.sin(2 * np.pi * 440 * t)
+                   + 0.1 * rng.normal(size=len(t)), -1, 1).astype(np.float32)
+    p = str(tmp_path / "m.flac")
+    if not native.flac_write(p, mono, 16000):
+        pytest.skip("native library unavailable")
+    dec, sr = native.flac_read(p)
+    assert sr == 16000 and dec.shape == mono.shape
+    q16 = np.round(mono * 32767) / 32768
+    assert np.abs(dec - q16).max() < 1e-4
+
+    stereo = np.stack([mono, -0.5 * mono], axis=1)
+    p2 = str(tmp_path / "s.flac")
+    native.flac_write(p2, stereo, 44100)
+    dec2, sr2 = native.flac_read(p2)
+    assert sr2 == 44100 and dec2.shape == stereo.shape
+
+    from rvc_tpu.utils.audio_io import load_audio
+
+    la = load_audio(p2, 16000)  # flac -> mono -> resample path
+    assert la.dtype == np.float32 and len(la) > 0
+
+
+def test_load_audio_unknown_format_message(tmp_path):
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    import shutil
+
+    if shutil.which("ffmpeg"):
+        pytest.skip("ffmpeg present; decode would succeed")
+    from rvc_tpu.utils.audio_io import load_audio
+
+    with pytest.raises(ValueError, match="ffmpeg"):
+        load_audio(str(p), 16000)
+
+
+def test_embedder_registry(tmp_path):
+    from rvc_tpu.embedders import EMBEDDER_REGISTRY, resolve_embedder_path
+
+    assert set(EMBEDDER_REGISTRY) == {
+        "contentvec", "spin", "chinese-hubert-base",
+        "japanese-hubert-base", "korean-hubert-base",
+    }
+    # named model without a local checkpoint -> None (random-init fallback)
+    assert resolve_embedder_path("spin", root=str(tmp_path)) is None
+    # named model with a local checkpoint -> its path
+    d = tmp_path / "korean_hubert_base"
+    d.mkdir()
+    ckpt = d / "pytorch_model.bin"
+    ckpt.write_bytes(b"x")
+    assert resolve_embedder_path(
+        "korean-hubert-base", root=str(tmp_path)) == str(ckpt)
+    # custom path wins
+    assert resolve_embedder_path("custom", str(ckpt)) == str(ckpt)
+    with pytest.raises(ValueError):
+        resolve_embedder_path("not-a-model")
+
+
 def test_export_pth_reference_layout(tmp_path):
     """export_rvc_pth writes 'weight' + the 18-element config list the
     reference loader reads (infer.py:469-483)."""
