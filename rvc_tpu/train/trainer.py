@@ -344,11 +344,17 @@ class Trainer:
         self.logger.log(int(self.state.step), avg, prefix="epoch/")
         return {**last_metrics, **avg}
 
-    def validate(self, rng: jax.Array, max_items: int = 8) -> Dict[str, float]:
+    def validate(self, rng: jax.Array,
+                 max_items: Optional[int] = None) -> Dict[str, float]:
         """Hold-out metrics via net_g.infer (reference validation_loop,
-        train.py:1478-1579): mel-L1, mrSTFT, SI-SDR (+PESQ if importable)."""
+        train.py:1478-1579): mel-L1, mrSTFT, SI-SDR, PESQ-WB. Covers the
+        full 10% split like the reference (cap with max_items for smoke
+        tests). PESQ uses the C wheel when importable, otherwise the numpy
+        P.862.2 estimator (utils/pesq_np.py)."""
         if self.val_ds is None or len(self.val_ds) == 0:
             return {}
+        if max_items is None:
+            max_items = len(self.val_ds)
         d = self.cfg.data
         mel_l1s, mrstfts, sisdrs, pesqs = [], [], [], []
         infer = type(self.model_g).infer
@@ -401,13 +407,18 @@ class Trainer:
             sisdrs.append(float(L.si_sdr(
                 jnp.asarray(y_hat[None]), jnp.asarray(y_ref[None]))))
             try:
-                from pesq import pesq as pesq_fn  # optional C wheel
-
                 from ..utils.audio_io import resample
 
                 ref16 = resample(y_ref, d.sample_rate, 16000)
                 hat16 = resample(y_hat, d.sample_rate, 16000)
-                pesqs.append(float(pesq_fn(16000, ref16, hat16, "wb")))
+                try:
+                    from pesq import pesq as pesq_fn  # ITU C wheel, preferred
+
+                    pesqs.append(float(pesq_fn(16000, ref16, hat16, "wb")))
+                except ImportError:
+                    from ..utils.pesq_np import pesq_wb
+
+                    pesqs.append(pesq_wb(ref16, hat16))
             except Exception:
                 pass
         out = {}

@@ -285,6 +285,32 @@ def test_embedder_registry(tmp_path):
         resolve_embedder_path("not-a-model")
 
 
+def test_pesq_wb_estimator():
+    """Numpy PESQ-WB (utils/pesq_np.py): identity -> ceiling, monotone in
+    noise, delay- and level-invariant, unrelated -> ~1."""
+    from rvc_tpu.utils.pesq_np import pesq_wb
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000 * 3) / 16000
+    sig = sum(np.sin(2 * np.pi * k * 120 * t) / k for k in range(1, 8))
+    ref = (sig * 0.5 * (1 + np.sin(2 * np.pi * 2.5 * t)) * 0.2)
+
+    assert pesq_wb(ref, ref) == pytest.approx(4.64, abs=0.01)
+    scores = []
+    for snr in (30, 20, 10, 0):
+        noise = rng.normal(size=len(ref))
+        noise *= np.sqrt(np.mean(ref ** 2) / np.mean(noise ** 2)) * 10 ** (-snr / 20)
+        scores.append(pesq_wb(ref, ref + noise))
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert 3.3 < scores[0] < 4.5      # 30 dB SNR
+    assert 1.1 < scores[-1] < 2.2     # 0 dB SNR
+    assert pesq_wb(ref, rng.normal(size=len(ref)) * 0.1) < 1.5
+    # global delay and level changes are compensated
+    delayed = np.concatenate([np.zeros(1600), ref])[: len(ref)]
+    assert pesq_wb(ref, delayed) > 4.0
+    assert pesq_wb(ref, ref * 0.3) > 4.5
+
+
 def test_export_pth_reference_layout(tmp_path):
     """export_rvc_pth writes 'weight' + the 18-element config list the
     reference loader reads (infer.py:469-483)."""
