@@ -23,9 +23,14 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _abstract_init(init_fn, *args):
@@ -95,7 +100,11 @@ def bench_full_pipeline() -> dict:
         48000, model, synth_vars["params"], hubert, hub_params,
         PipelineConfig(), upsample_factor=cfg.upsample_factor,
     )
-    index_vectors = rng.normal(size=(65536, 768)).astype(np.float32)
+    # index stays resident on device (as VoiceConverter._load_index does) —
+    # re-uploading 200 MB per conversion is not part of steady-state serving
+    index_vectors = jax.block_until_ready(jnp.asarray(
+        rng.normal(size=(65536, 768)).astype(np.float32)
+    ))
     tt = np.arange(t16) / 16000
     audio = (0.4 * np.sin(2 * np.pi * 220 * tt)
              + 0.05 * rng.normal(size=t16)).astype(np.float32)
@@ -107,7 +116,9 @@ def bench_full_pipeline() -> dict:
         predictors={"rmvpe": rmvpe.infer_from_audio},
     )
 
+    t0 = time.perf_counter()
     out = pipe.pipeline(audio, **kwargs)  # compile warmup
+    _log(f"pipeline warmup {time.perf_counter()-t0:.1f}s")
     assert np.isfinite(out).all()
 
     n_runs = 5
@@ -115,6 +126,7 @@ def bench_full_pipeline() -> dict:
     for _ in range(n_runs):
         out = pipe.pipeline(audio, **kwargs)
     elapsed = (time.perf_counter() - t0) / n_runs
+    _log(f"pipeline steady {elapsed:.2f}s per 10s conversion")
     return {"full_xrt": seconds / elapsed, "out_len": int(len(out))}
 
 
@@ -241,11 +253,17 @@ def main() -> None:
         pass
 
     record = {}
+    t0 = time.perf_counter()
     full = bench_full_pipeline()
+    _log(f"full pipeline bench done {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
     record["graph_xrt"] = round(bench_graph_only(), 2)
+    _log(f"graph bench done {time.perf_counter()-t0:.1f}s")
     if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1":
         try:
+            t0 = time.perf_counter()
             record.update({k: round(v, 3) for k, v in bench_train().items()})
+            _log(f"train bench done {time.perf_counter()-t0:.1f}s")
         except Exception as e:  # train bench must not sink the whole run
             record["train_error"] = str(e)[:200]
 

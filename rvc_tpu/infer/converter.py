@@ -41,6 +41,7 @@ class VoiceConverter:
         self.tgt_sr: Optional[int] = None
         self.use_f0 = True
         self._predictors: Dict[str, Any] = {}
+        self._index_cache: Dict[str, Any] = {}
 
     def get_predictors(self, f0_method: str) -> Dict[str, Any]:
         """Instantiate (and cache) the f0 predictors a method needs; local
@@ -105,6 +106,20 @@ class VoiceConverter:
         )
         self.loaded_model = model_path
 
+    def _load_index(self, index_path: str):
+        """Load the retrieval index ONCE and keep it resident on the device:
+        re-uploading hundreds of MB of vectors per conversion dominates
+        latency on remote-attached accelerators."""
+        cached = self._index_cache.get(index_path)
+        if cached is None:
+            import jax.numpy as jnp
+
+            cached = jnp.asarray(
+                FeatureIndex.load(index_path).vectors, jnp.float32
+            )
+            self._index_cache = {index_path: cached}
+        return cached
+
     # -- conversion ----------------------------------------------------------
 
     def convert_audio(
@@ -154,7 +169,7 @@ class VoiceConverter:
 
         index_vectors = None
         if index_path and os.path.exists(index_path) and index_rate > 0:
-            index_vectors = np.asarray(FeatureIndex.load(index_path).vectors)
+            index_vectors = self._load_index(index_path)
 
         kwargs: Dict[str, Any] = dict(
             sid=sid, pitch_shift=pitch, f0_method=f0_method,
@@ -236,11 +251,7 @@ class VoiceConverter:
         index_path = kwargs.get("index_path", "")
         index_rate = kwargs.get("index_rate", 0.0)
         if index_path and os.path.exists(index_path) and index_rate > 0:
-            import jax.numpy as jnp
-
-            index_vectors = jnp.asarray(
-                FeatureIndex.load(index_path).vectors, jnp.float32
-            )
+            index_vectors = self._load_index(index_path)
 
         f0_method = kwargs.get("f0_method", "yin")
         filter_radius = kwargs.get("filter_radius", 3)

@@ -34,14 +34,18 @@ def _require_gradio():
 
 def build_app():
     gr = _require_gradio()
-    i18n = I18nAuto()
 
     from .tabs import (
-        download_tab, inference_tab, settings_tab, train_tab, tts_tab,
-        utilities_tab, voice_blender_tab,
+        download_tab, inference_tab, load_ui_config, settings_tab,
+        train_tab, tts_tab, utilities_tab, voice_blender_tab,
     )
 
-    with gr.Blocks(title="rvc_tpu") as app:
+    ui_cfg = load_ui_config()
+    i18n = I18nAuto(ui_cfg.get("language") or None)
+    theme = ui_cfg.get("theme", "default")
+    theme = None if theme in ("default", "", None) else theme
+
+    with gr.Blocks(title="rvc_tpu", theme=theme) as app:
         gr.Markdown("## rvc_tpu — TPU-native voice conversion")
         with gr.Tab(i18n("Inference")):
             inference_tab(gr, i18n)

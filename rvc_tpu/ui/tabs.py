@@ -1,11 +1,13 @@
 """UI tab builders.
 
-Parity target: tabs/inference/inference.py:356 (single+batch infer with the
-full effect-knob surface and preset import/export), tabs/train/train.py:297
-(preprocess/extract/train/index buttons), tabs/tts/tts.py, voice_blender,
-download, utilities (analyzer + f0 extractor), settings
+Parity target: tabs/inference/inference.py:356+ (single+batch infer with the
+full effect-knob surface, preset import/export, index auto-match),
+tabs/train/train.py:297 (preprocess/extract/train/index with pretrained
+pickers), tabs/tts/tts.py (voice list), voice_blender, download (link +
+zip drop), utilities (analyzer + f0 extractor), settings
 (theme/lang/precision/restart). Each builder takes (gr, i18n) so the gradio
-import stays confined to app.build_app.
+import stays confined to app.build_app — builders are also exercised in
+tests through a fake `gr` shim (tests/test_ui_builders.py).
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import threading
 
 
 def _model_choices():
@@ -27,8 +30,124 @@ def _index_choices():
                             recursive=True))
 
 
+def _match_index(model_path: str) -> str:
+    """Auto-pick the index living next to a model (reference
+    tabs/inference/inference.py match_index)."""
+    if not model_path:
+        return ""
+    exp_dir = os.path.dirname(model_path)
+    cands = sorted(glob.glob(os.path.join(exp_dir, "*.index.npz")))
+    return cands[0] if cands else ""
+
+
+def _pretrained_choices(prefix: str):
+    pats = [os.path.join("models", "pretraineds", "**", f"{prefix}*.npz"),
+            os.path.join("models", "pretraineds", "**", f"{prefix}*.pth")]
+    out = []
+    for p in pats:
+        out.extend(glob.glob(p, recursive=True))
+    return sorted(out)
+
+
+# knob order shared by the single/batch converters and the preset bundlers
+_KNOBS = (
+    "pitch", "filter_radius", "index_rate", "volume_envelope", "protect",
+    "f0_method", "split_audio", "f0_autotune", "f0_autotune_strength",
+    "clean_audio", "clean_strength", "export_format", "embedder_model",
+    "formant_shifting", "formant_qfrency", "formant_timbre",
+    "post_process", "reverb", "pitch_shift", "limiter", "gain", "distortion",
+    "chorus", "bitcrush", "clipping", "compressor", "delay",
+    "reverb_room_size", "reverb_damping", "reverb_wet_gain",
+    "reverb_dry_gain", "reverb_width", "reverb_freeze_mode",
+    "pitch_shift_semitones", "limiter_threshold", "limiter_release_time",
+    "gain_db", "distortion_gain", "chorus_rate", "chorus_depth",
+    "chorus_center_delay", "chorus_feedback", "chorus_mix",
+    "bitcrush_bit_depth", "clipping_threshold", "compressor_threshold",
+    "compressor_ratio", "compressor_attack", "compressor_release",
+    "delay_seconds", "delay_feedback", "delay_mix",
+)
+
+
+def _build_knobs(gr, i18n):
+    """The full conversion/effect control surface (reference exposes 40+
+    knobs, tabs/inference/inference.py:356+). Returns {name: component} in
+    _KNOBS order."""
+    k = {}
+    k["pitch"] = gr.Slider(-24, 24, 0, step=1, label=i18n("Pitch"))
+    k["filter_radius"] = gr.Slider(
+        0, 10, 3, step=1, label=i18n("Filter Radius"))
+    k["index_rate"] = gr.Slider(0, 1, 0.3, label=i18n("Search Feature Ratio"))
+    k["volume_envelope"] = gr.Slider(0, 1, 1.0, label=i18n("Volume Envelope"))
+    k["protect"] = gr.Slider(
+        0, 0.5, 0.33, label=i18n("Protect Voiceless Consonants"))
+    k["f0_method"] = gr.Radio(
+        ["rmvpe", "fcpe", "crepe", "crepe-tiny", "yin",
+         "hybrid[crepe+rmvpe]", "hybrid[crepe+fcpe]", "hybrid[rmvpe+fcpe]",
+         "hybrid[crepe+rmvpe+fcpe]"],
+        value="rmvpe", label=i18n("Pitch extraction algorithm"))
+    k["split_audio"] = gr.Checkbox(False, label=i18n("Split Audio"))
+    k["f0_autotune"] = gr.Checkbox(False, label=i18n("Autotune"))
+    k["f0_autotune_strength"] = gr.Slider(
+        0, 1, 1.0, label=i18n("Autotune Strength"))
+    k["clean_audio"] = gr.Checkbox(False, label=i18n("Clean Audio"))
+    k["clean_strength"] = gr.Slider(0, 1, 0.7, label=i18n("Clean Strength"))
+    k["export_format"] = gr.Radio(
+        ["WAV", "MP3", "FLAC", "OGG", "M4A"], value="WAV",
+        label=i18n("Export Format"))
+    k["embedder_model"] = gr.Radio(
+        ["contentvec", "spin", "chinese-hubert-base", "japanese-hubert-base",
+         "korean-hubert-base", "custom"],
+        value="contentvec", label=i18n("Embedder Model"))
+    k["formant_shifting"] = gr.Checkbox(
+        False, label=i18n("Formant Shifting"))
+    k["formant_qfrency"] = gr.Slider(
+        0.0, 16.0, 1.0, label=i18n("Quefrency for formant shifting"))
+    k["formant_timbre"] = gr.Slider(
+        0.0, 16.0, 1.0, label=i18n("Timbre for formant shifting"))
+    k["post_process"] = gr.Checkbox(False, label=i18n("Post-Process"))
+    for fx in ("reverb", "pitch_shift", "limiter", "gain", "distortion",
+               "chorus", "bitcrush", "clipping", "compressor", "delay"):
+        k[fx] = gr.Checkbox(False, label=i18n(fx.replace("_", " ").title()))
+    for name, lo, hi, default in (
+        ("reverb_room_size", 0.0, 1.0, 0.5),
+        ("reverb_damping", 0.0, 1.0, 0.5),
+        ("reverb_wet_gain", 0.0, 1.0, 0.33),
+        ("reverb_dry_gain", 0.0, 1.0, 0.4),
+        ("reverb_width", 0.0, 1.0, 1.0),
+        ("reverb_freeze_mode", 0.0, 1.0, 0.0),
+        ("pitch_shift_semitones", -12.0, 12.0, 0.0),
+        ("limiter_threshold", -60.0, 0.0, -6.0),
+        ("limiter_release_time", 0.01, 1.0, 0.05),
+        ("gain_db", -60.0, 60.0, 0.0),
+        ("distortion_gain", 0.0, 60.0, 25.0),
+        ("chorus_rate", 0.1, 10.0, 1.0),
+        ("chorus_depth", 0.0, 1.0, 0.25),
+        ("chorus_center_delay", 0.0, 50.0, 7.0),
+        ("chorus_feedback", 0.0, 1.0, 0.0),
+        ("chorus_mix", 0.0, 1.0, 0.5),
+        ("bitcrush_bit_depth", 1, 32, 8),
+        ("clipping_threshold", -60.0, 0.0, -6.0),
+        ("compressor_threshold", -60.0, 0.0, 0.0),
+        ("compressor_ratio", 1.0, 20.0, 1.0),
+        ("compressor_attack", 0.1, 100.0, 1.0),
+        ("compressor_release", 10.0, 1000.0, 100.0),
+        ("delay_seconds", 0.0, 5.0, 0.5),
+        ("delay_feedback", 0.0, 1.0, 0.0),
+        ("delay_mix", 0.0, 1.0, 0.5),
+    ):
+        step = 1 if name == "bitcrush_bit_depth" else None
+        k[name] = gr.Slider(lo, hi, default, step=step,
+                            label=i18n(name.replace("_", " ").title()))
+    return k
+
+
+def _knob_kwargs(values) -> dict:
+    return dict(zip(_KNOBS, values))
+
+
 def inference_tab(gr, i18n):
     from ..infer.converter import VoiceConverter
+    from ..utils.presets import list_presets, load_preset, save_preset
 
     vc = VoiceConverter()
 
@@ -36,86 +155,96 @@ def inference_tab(gr, i18n):
         model = gr.Dropdown(label=i18n("Voice Model"), choices=_model_choices())
         index = gr.Dropdown(label=i18n("Index File"), choices=_index_choices())
         refresh = gr.Button(i18n("Refresh"))
+    sid = gr.Slider(0, 108, 0, step=1, label=i18n("Speaker ID"))
+    embedder_custom = gr.Textbox(
+        label=i18n("Custom Embedder"), value="", visible=True)
+    f0_file = gr.Textbox(label=i18n("F0 File Path"), value="")
+
+    # index auto-match when a model is picked (reference match_index)
+    model.change(lambda m: gr.update(value=_match_index(m)), [model], [index])
 
     with gr.Tab(i18n("Single")):
         audio_in = gr.Audio(label=i18n("Upload Audio"), type="filepath")
-        from ..utils.presets import list_presets, load_preset
-
         with gr.Row():
             preset = gr.Dropdown(label=i18n("Preset"), choices=list_presets())
             apply_preset = gr.Button(i18n("Apply Preset"))
+            preset_name = gr.Textbox(label=i18n("Preset Name"), value="")
+            export_preset = gr.Button(i18n("Export Preset"))
         with gr.Accordion(i18n("Advanced Settings"), open=False):
-            pitch = gr.Slider(-24, 24, 0, step=1, label=i18n("Pitch"))
-            index_rate = gr.Slider(0, 1, 0.3, label=i18n("Search Feature Ratio"))
-            protect = gr.Slider(0, 0.5, 0.33, label=i18n("Protect Voiceless Consonants"))
-            volume_env = gr.Slider(0, 1, 1.0, label=i18n("Volume Envelope"))
-            f0_method = gr.Radio(
-                ["rmvpe", "fcpe", "crepe", "crepe-tiny", "yin"],
-                value="rmvpe", label=i18n("Pitch extraction algorithm"),
-            )
-            autotune = gr.Checkbox(False, label=i18n("Autotune"))
-            clean = gr.Checkbox(False, label=i18n("Clean Audio"))
-            clean_strength = gr.Slider(0, 1, 0.7, label=i18n("Clean Strength"))
-            split = gr.Checkbox(False, label=i18n("Split Audio"))
-        def do_apply_preset(name):
-            if not name:
-                return [gr.update()] * 6
-            pr = load_preset(name)
-            return [
-                gr.update(value=pr.get("pitch", 0)),
-                gr.update(value=pr.get("index_rate", 0.3)),
-                gr.update(value=pr.get("protect", 0.33)),
-                gr.update(value=pr.get("volume_envelope", 1.0)),
-                gr.update(value=pr.get("f0_method", "rmvpe")),
-                gr.update(value=pr.get("clean_audio", False)),
-            ]
+            knobs = _build_knobs(gr, i18n)
+        knob_list = [knobs[n] for n in _KNOBS]
 
-        apply_preset.click(
-            do_apply_preset, [preset],
-            [pitch, index_rate, protect, volume_env, f0_method, clean],
-        )
+        def do_apply_preset(name, *values):
+            if not name:
+                return list(values)
+            pr = load_preset(name)
+            return [pr.get(k, v) for k, v in zip(_KNOBS, values)]
+
+        apply_preset.click(do_apply_preset, [preset] + knob_list, knob_list)
+
+        def do_export_preset(name, *values):
+            if not name:
+                return "preset name required"
+            path = save_preset(name, _knob_kwargs(values))
+            return f"saved preset -> {path}"
+
+        status_preset = gr.Textbox(label=i18n("Output Information"))
+        export_preset.click(do_export_preset, [preset_name] + knob_list,
+                            [status_preset])
 
         convert_btn = gr.Button(i18n("Convert"))
         audio_out = gr.Audio(label=i18n("Export Audio"))
 
-        def do_convert(path, mdl, idx, p, ir, prot, ve, f0m, at, cl, cs, sp):
+        def do_convert(path, mdl, idx, spk, emb_custom, f0f, *values):
+            kw = _knob_kwargs(values)
             out = os.path.join("logs", "ui_output.wav")
-            vc.convert_audio(
+            result = vc.convert_audio(
                 audio_input_path=path, audio_output_path=out, model_path=mdl,
-                index_path=idx or "", pitch=int(p), index_rate=ir,
-                protect=prot, volume_envelope=ve, f0_method=f0m,
-                f0_autotune=at, clean_audio=cl, clean_strength=cs,
-                split_audio=sp,
+                index_path=idx or "", sid=int(spk),
+                embedder_model_custom=emb_custom or None,
+                f0_file=f0f or None, **kw,
             )
-            return out
+            return result
 
         convert_btn.click(
             do_convert,
-            [audio_in, model, index, pitch, index_rate, protect, volume_env,
-             f0_method, autotune, clean, clean_strength, split],
+            [audio_in, model, index, sid, embedder_custom, f0_file] + knob_list,
             [audio_out],
         )
 
     with gr.Tab(i18n("Batch")):
         in_folder = gr.Textbox(label=i18n("Input Folder"))
         out_folder = gr.Textbox(label=i18n("Output Folder"))
+        with gr.Accordion(i18n("Advanced Settings"), open=False):
+            bknobs = _build_knobs(gr, i18n)
+        bknob_list = [bknobs[n] for n in _KNOBS]
         batch_btn = gr.Button(i18n("Convert"))
         status = gr.Textbox(label=i18n("Output Information"))
 
-        def do_batch(inf, outf, mdl, idx):
+        def do_batch(inf, outf, mdl, idx, spk, emb_custom, *values):
+            kw = _knob_kwargs(values)
             vc.convert_audio_batch(
                 audio_input_paths=inf, audio_output_path=outf,
-                model_path=mdl, index_path=idx or "",
+                model_path=mdl, index_path=idx or "", sid=int(spk),
+                embedder_model_custom=emb_custom or None, **kw,
             )
             return f"batch complete -> {outf}"
 
-        batch_btn.click(do_batch, [in_folder, out_folder, model, index], [status])
+        batch_btn.click(
+            do_batch,
+            [in_folder, out_folder, model, index, sid, embedder_custom]
+            + bknob_list,
+            [status],
+        )
 
     refresh.click(
         lambda: (gr.update(choices=_model_choices()),
                  gr.update(choices=_index_choices())),
         [], [model, index],
     )
+
+
+_TRAIN_THREAD = {"thread": None}
 
 
 def train_tab(gr, i18n):
@@ -129,85 +258,164 @@ def train_tab(gr, i18n):
         dataset = gr.Textbox(label=i18n("Dataset Path"))
         cut_mode = gr.Radio(["Skip", "Simple", "Automatic"], value="Automatic",
                             label=i18n("Audio cutting"))
+        process_effects = gr.Checkbox(True, label=i18n("Process effects"))
+        noise_reduction = gr.Checkbox(False, label=i18n("Noise Reduction"))
+        nr_strength = gr.Slider(0, 1, 0.7,
+                                label=i18n("Noise Reduction Strength"))
         pre_btn = gr.Button(i18n("Preprocess Dataset"))
         pre_out = gr.Textbox(label=i18n("Output Information"))
 
-        def do_pre(name, ds, sr, cm):
+        def do_pre(name, ds, sr, cm, fx, nr, nrs):
             from ..train.preprocess import preprocess_training_set
 
             hours = preprocess_training_set(
-                ds, int(sr), os.path.join("logs", name), cut_preprocess=cm
+                ds, int(sr), os.path.join("logs", name), cut_preprocess=cm,
+                process_effects=fx, noise_reduction=nr,
+                reduction_strength=nrs,
             )
             return f"preprocessed {hours:.2f} h"
 
-        pre_btn.click(do_pre, [model_name, dataset, sample_rate, cut_mode], [pre_out])
+        pre_btn.click(do_pre, [model_name, dataset, sample_rate, cut_mode,
+                               process_effects, noise_reduction, nr_strength],
+                      [pre_out])
 
     with gr.Accordion(i18n("Extract")):
         f0_method = gr.Radio(["rmvpe", "fcpe", "crepe", "yin"], value="rmvpe",
                              label=i18n("Pitch extraction algorithm"))
+        embedder = gr.Radio(
+            ["contentvec", "spin", "chinese-hubert-base",
+             "japanese-hubert-base", "korean-hubert-base", "custom"],
+            value="contentvec", label=i18n("Embedder Model"))
+        include_mutes = gr.Slider(0, 10, 2, step=1,
+                                  label=i18n("Silent training files"))
         ext_btn = gr.Button(i18n("Extract Features"))
         ext_out = gr.Textbox(label=i18n("Output Information"))
 
-        def do_ext(name, sr, f0m):
+        def do_ext(name, sr, f0m, emb, mutes):
             from ..train.extract import run_extraction
 
             run_extraction(os.path.join("logs", name), f0_method=f0m,
-                           sample_rate=int(sr))
+                           sample_rate=int(sr), embedder_model=emb,
+                           include_mutes=int(mutes))
             return "extraction complete"
 
-        ext_btn.click(do_ext, [model_name, sample_rate, f0_method], [ext_out])
+        ext_btn.click(do_ext, [model_name, sample_rate, f0_method, embedder,
+                               include_mutes], [ext_out])
 
     with gr.Accordion(i18n("Train")):
         epochs = gr.Slider(1, 1000, 200, step=1, label=i18n("Total Epoch"))
         batch = gr.Slider(1, 64, 8, step=1, label=i18n("Batch Size"))
         save_every = gr.Slider(1, 100, 10, step=1, label=i18n("Save Every Epoch"))
+        save_only_latest = gr.Checkbox(False, label=i18n("Save Only Latest"))
+        with gr.Row():
+            pretrained = gr.Checkbox(True, label=i18n("Pretrained"))
+            custom_pretrained = gr.Checkbox(
+                False, label=i18n("Custom Pretrained"))
+        with gr.Row():
+            g_pretrained = gr.Dropdown(
+                label=i18n("Custom Pretrained G"),
+                choices=[""] + _pretrained_choices("G"), value="")
+            d_pretrained = gr.Dropdown(
+                label=i18n("Custom Pretrained D"),
+                choices=[""] + _pretrained_choices("D"), value="")
+        optimizer = gr.Radio(["AdamW", "RAdam", "Ranger21"], value="AdamW",
+                             label=i18n("Optimizer"))
+        with gr.Row():
+            warmup = gr.Checkbox(False, label=i18n("Use warmup"))
+            warmup_epochs = gr.Slider(1, 100, 5, step=1,
+                                      label=i18n("Warmup duration"))
+        with gr.Row():
+            multiscale = gr.Checkbox(
+                True, label=i18n("Multi-scale mel loss"))
+            double_d = gr.Checkbox(False, label=i18n("Double D update"))
+            balancer = gr.Checkbox(False, label=i18n("Loss balancer"))
+            checkpointing = gr.Checkbox(False, label=i18n("Checkpointing"))
         train_btn = gr.Button(i18n("Start Training"))
+        stop_btn = gr.Button(i18n("Stop Training"))
         idx_btn = gr.Button(i18n("Generate Index"))
         train_out = gr.Textbox(label=i18n("Output Information"))
 
-        def do_train(name, sr, voc, ep, bs, se):
+        def do_train(name, sr, voc, ep, bs, se, sol, pre, cus, gp, dp, opt,
+                     wu, wue, ms, dd, bal, ckpt):
             from ..cli import main as cli_main
 
-            cli_main([
+            args = [
                 "train", "--model_name", name, "--sample_rate", str(int(sr)),
                 "--vocoder", voc, "--total_epoch", str(int(ep)),
-                "--batch_size", str(int(bs)), "--save_every_epoch", str(int(se)),
-            ])
-            return "training finished"
+                "--batch_size", str(int(bs)), "--save_every_epoch",
+                str(int(se)), "--save_only_latest", str(bool(sol)),
+                "--pretrained", str(bool(pre)),
+                "--optimizer", opt, "--use_warmup", str(bool(wu)),
+                "--warmup_duration", str(int(wue)),
+                "--use_multiscale_mel_loss", str(bool(ms)),
+                "--double_d_update", str(bool(dd)),
+                "--use_balancer", str(bool(bal)),
+                "--checkpointing", str(bool(ckpt)),
+            ]
+            if cus and gp:
+                args += ["--g_pretrained_path", gp]
+            if cus and dp:
+                args += ["--d_pretrained_path", dp]
+            # run in a thread so the UI stays responsive (the reference
+            # forks a subprocess, tabs/train/train.py run_train_script)
+            t = threading.Thread(target=cli_main, args=(args,), daemon=True)
+            _TRAIN_THREAD["thread"] = t
+            t.start()
+            return (f"training started in the background; follow "
+                    f"logs/{name}/metrics.jsonl")
+
+        def do_stop():
+            import signal
+
+            # the trainer installs a SIGINT handler that checkpoints and
+            # exits at the epoch boundary
+            os.kill(os.getpid(), signal.SIGINT)
+            return "stop requested: checkpointing at the epoch boundary"
 
         def do_index(name):
             from ..train.index_builder import build_index
 
             return build_index(os.path.join("logs", name))
 
-        train_btn.click(do_train,
-                        [model_name, sample_rate, vocoder, epochs, batch,
-                         save_every], [train_out])
+        train_btn.click(
+            do_train,
+            [model_name, sample_rate, vocoder, epochs, batch, save_every,
+             save_only_latest, pretrained, custom_pretrained, g_pretrained,
+             d_pretrained, optimizer, warmup, warmup_epochs, multiscale,
+             double_d, balancer, checkpointing],
+            [train_out])
+        stop_btn.click(do_stop, [], [train_out])
         idx_btn.click(do_index, [model_name], [train_out])
 
 
 def tts_tab(gr, i18n):
+    from ..utils.tts import list_voices
+
     text = gr.Textbox(label=i18n("Text to Synthesize"), lines=3)
-    voice = gr.Textbox(label=i18n("TTS Voices"), value="en-US-AriaNeural")
+    voice = gr.Dropdown(label=i18n("TTS Voices"), choices=list_voices(),
+                        value="en-US-AriaNeural")
     rate = gr.Slider(-100, 100, 0, step=1, label=i18n("TTS Speed"))
     model = gr.Dropdown(label=i18n("Voice Model"), choices=_model_choices())
+    with gr.Accordion(i18n("Advanced Settings"), open=False):
+        knobs = _build_knobs(gr, i18n)
+    knob_list = [knobs[n] for n in _KNOBS]
     btn = gr.Button(i18n("Convert"))
     out = gr.Audio(label=i18n("Export Audio"))
 
-    def do_tts(t, v, r, mdl):
-        from ..utils.tts import run_tts
+    def do_tts(t, v, r, mdl, *values):
         from ..infer.converter import VoiceConverter
+        from ..utils.tts import run_tts
 
         tts_path = os.path.join("logs", "tts_raw.wav")
         out_path = os.path.join("logs", "tts_output.wav")
         run_tts(t, v, int(r), tts_path)
         VoiceConverter().convert_audio(
             audio_input_path=tts_path, audio_output_path=out_path,
-            model_path=mdl,
+            model_path=mdl, **_knob_kwargs(values),
         )
         return out_path
 
-    btn.click(do_tts, [text, voice, rate, model], [out])
+    btn.click(do_tts, [text, voice, rate, model] + knob_list, [out])
 
 
 def voice_blender_tab(gr, i18n):
@@ -243,6 +451,22 @@ def download_tab(gr, i18n):
 
     btn.click(do_download, [link], [out])
 
+    drop = gr.File(label=i18n("Drop files"))
+    drop_out = gr.Textbox(label=i18n("Output Information"))
+
+    def do_install(f):
+        from ..utils.downloads import install_model_archive
+
+        if f is None:
+            return "no file"
+        path = f if isinstance(f, str) else getattr(f, "name", str(f))
+        try:
+            return install_model_archive(path)
+        except Exception as e:
+            return str(e)
+
+    drop.upload(do_install, [drop], [drop_out])
+
 
 def utilities_tab(gr, i18n):
     with gr.Accordion(i18n("Audio Analyzer")):
@@ -276,25 +500,72 @@ def utilities_tab(gr, i18n):
 
         btn2.click(do_f0, [audio2, method], [plot2])
 
+    with gr.Accordion(i18n("Model Information")):
+        pth = gr.Dropdown(label=i18n("Voice Model"), choices=_model_choices())
+        btn3 = gr.Button(i18n("Get information about the audio"))
+        info3 = gr.Textbox(label=i18n("Output Information"), lines=6)
+
+        def do_info(path):
+            import io
+            from contextlib import redirect_stdout
+
+            from ..utils.model_tools import model_information
+
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                model_information(path)
+            return buf.getvalue()
+
+        btn3.click(do_info, [pth], [info3])
+
+
+UI_CONFIG_PATH = os.path.join("logs", "ui_config.json")
+THEMES = ["default", "soft", "monochrome", "glass", "base"]
+
+
+def load_ui_config() -> dict:
+    if os.path.exists(UI_CONFIG_PATH):
+        try:
+            with open(UI_CONFIG_PATH) as f:
+                return json.load(f)
+        except Exception:
+            pass
+    return {}
+
 
 def settings_tab(gr, i18n):
     from .i18n import I18nAuto
 
+    cfg = load_ui_config()
     lang = gr.Dropdown(
         label=i18n("Language"),
         choices=["auto"] + I18nAuto().available_languages(),
-        value="auto",
+        value=cfg.get("language", "auto"),
     )
-    precision = gr.Radio(["bf16", "fp32"], value="bf16", label=i18n("Precision"))
-    author = gr.Textbox(label=i18n("Model Author"))
+    theme = gr.Dropdown(label=i18n("Theme"), choices=THEMES,
+                        value=cfg.get("theme", "default"))
+    precision = gr.Radio(["bf16", "fp32"],
+                         value=cfg.get("precision", "bf16"),
+                         label=i18n("Precision"))
+    author = gr.Textbox(label=i18n("Model Author"),
+                        value=cfg.get("author", ""))
     out = gr.Textbox(label=i18n("Output Information"))
     save = gr.Button(i18n("Save Settings"))
+    restart = gr.Button(i18n("Restart Applio"))
 
-    def do_save(l, p, a):
-        cfg_path = os.path.join("logs", "ui_config.json")
+    def do_save(l, th, p, a):
         os.makedirs("logs", exist_ok=True)
-        with open(cfg_path, "w") as f:
-            json.dump({"language": l, "precision": p, "author": a}, f, indent=2)
-        return f"saved to {cfg_path} (restart the UI to apply the language)"
+        with open(UI_CONFIG_PATH, "w") as f:
+            json.dump({"language": l, "theme": th, "precision": p,
+                       "author": a}, f, indent=2)
+        return (f"saved to {UI_CONFIG_PATH} "
+                "(restart the UI to apply language/theme)")
 
-    save.click(do_save, [lang, precision, author], [out])
+    def do_restart():
+        # re-exec the current process (reference restart_applio)
+        import sys
+
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    save.click(do_save, [lang, theme, precision, author], [out])
+    restart.click(do_restart, [], [])

@@ -63,6 +63,25 @@ def prerequisites_download_pipeline(
               "(rvc_tpu.utils.checkpoints / predictors.rmvpe).")
 
 
+def install_model_archive(path: str, output_dir: str = "logs") -> str:
+    """Install a dropped model file (zip of pth+index, bare .pth/.npz) into
+    logs/ (reference tabs/download drag-drop install)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    os.makedirs(output_dir, exist_ok=True)
+    if path.endswith(".zip"):
+        name = os.path.splitext(os.path.basename(path))[0]
+        dest = os.path.join(output_dir, name)
+        with zipfile.ZipFile(path) as z:
+            z.extractall(dest)
+        return f"extracted to {dest}"
+    if path.endswith((".pth", ".npz", ".index")):
+        dest = os.path.join(output_dir, os.path.basename(path))
+        shutil.copy2(path, dest)
+        return f"installed {dest}"
+    raise ValueError(f"unsupported model file {path!r} (.zip/.pth/.npz)")
+
+
 def model_download_pipeline(model_link: str, output_dir: str = "logs") -> str:
     """Install a model from a link/path. Supports local paths, file:// URLs,
     and .zip archives (network URLs only when the environment has egress)."""
