@@ -184,7 +184,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16_run", type=_bool, default=True)
     p.add_argument("--checkpointing", type=_bool, default=False)
     p.add_argument("--discriminators", type=str, default="mpd",
-                   help="comma list: mpd,mpd_v1,mrd,msstft,mssbcqt,msd")
+                   help="comma list: mpd,mpd_v1,mrd,msstft,mssbcqt,msd,"
+                        "fregan_mpd,mmsd")
     p.add_argument("--index_algorithm", type=str, default="Auto")
 
     p = sub.add_parser("index", help="Build the retrieval index")

@@ -32,7 +32,10 @@ class VoiceConverter:
         "crepe": os.path.join("models", "predictors", "crepe.pt"),
     }
 
-    def __init__(self):
+    def __init__(self, precision: str = "bf16"):
+        """precision: "bf16" (default, mirrors the reference's fp16-first
+        inference config) or "fp32"."""
+        self.precision = precision
         self.pipeline: Optional[Pipeline] = None
         self.loaded_model: Optional[str] = None
         self.last_embedder: Optional[str] = None
@@ -103,6 +106,7 @@ class VoiceConverter:
         self.pipeline = Pipeline(
             self.tgt_sr, model, params, self.embedder, self.embedder_params,
             PipelineConfig.from_device(), upsample_factor=cfg.upsample_factor,
+            precision=self.precision,
         )
         self.loaded_model = model_path
 

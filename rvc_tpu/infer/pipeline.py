@@ -139,9 +139,25 @@ class Pipeline:
         embedder_params: Dict[str, Any],
         cfg: PipelineConfig = PipelineConfig(),
         upsample_factor: Optional[int] = None,
+        precision: str = "fp32",
     ):
+        """precision: "bf16" runs the conversion graph with bf16 weights and
+        activations (the reference defaults to fp16 inference on GPU,
+        rvc/configs/config.py) and returns int16 audio from the device —
+        output quantization 3e-5, below the PCM16 export precision; "fp32"
+        keeps everything float (used by parity/golden tests)."""
         self.tgt_sr = tgt_sr
         self.cfg = cfg
+        self.precision = precision
+        if precision == "bf16":
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                t,
+            )
+            synth_params = cast(synth_params)
+            embedder_params = cast(embedder_params)
         self.t_pad = SAMPLE_RATE * cfg.x_pad
         self.t_pad_tgt = tgt_sr * cfg.x_pad
         self.t_pad2 = self.t_pad * 2
@@ -155,8 +171,7 @@ class Pipeline:
         # frames per second of latent = 100 (window=160 @ 16k)
         self.upp = upsample_factor or (tgt_sr // 100)
 
-        @partial(jax.jit, static_argnames=("use_pitch",))
-        def _convert(
+        def _convert_core(
             synth_params,
             emb_params,
             audio16k,      # [B, T16] padded
@@ -170,7 +185,10 @@ class Pipeline:
             rng,
             use_pitch: bool = True,
         ):
+            if self.precision == "bf16":
+                audio16k = audio16k.astype(jnp.bfloat16)
             feats = self.embedder.apply({"params": emb_params}, audio16k)
+            feats = feats.astype(jnp.float32)  # retrieval distances in f32
             # feats0 is the PRE-retrieval copy: the protect blend restores it
             # on unvoiced frames (reference clones before index search,
             # pipeline.py:455-481).
@@ -210,11 +228,146 @@ class Pipeline:
                 method=type(self.synthesizer).infer,
                 rngs={"noise": rng},
             )
-            return audio[..., 0]  # [B, T_out]
+            audio = audio[..., 0]  # [B, T_out]
+            if self.precision == "bf16":
+                # tanh-bounded output: int16 halves the device->host transfer
+                # with quantization well under the PCM16 export floor
+                return jnp.clip(
+                    audio.astype(jnp.float32) * 32767.0, -32768, 32767
+                ).astype(jnp.int16)
+            return audio
 
-        self._convert = _convert
+        self._convert = partial(jax.jit, static_argnames=("use_pitch",))(
+            _convert_core
+        )
+        self._convert_core = _convert_core
+        # fused f0+conversion graph, built lazily when a device f0 predictor
+        # is attached (set_rmvpe)
+        self._rmvpe = None
+        self._convert_fused = None
+
+    # -- fused f0 + conversion (one device round trip) -----------------------
+
+    def set_rmvpe(self, rmvpe) -> None:
+        """Attach an RMVPE predictor so f0 estimation + quantization +
+        conversion run as ONE jitted program. On remote-attached
+        accelerators each synchronous device call costs a full network
+        round trip (~tens of ms); the unfused path pays it twice per
+        segment, the fused path once."""
+        from ..predictors.rmvpe import decode_salience, rmvpe_mel
+
+        self._rmvpe = rmvpe
+
+        @partial(jax.jit, static_argnames=(
+            "use_autotune", "filter_radius", "f0_frames"))
+        def _convert_fused(
+            synth_params, emb_params, rmvpe_params, rmvpe_stats,
+            audio16k,           # [B, T16] padded
+            p_len,              # [B]
+            sid,                # [B]
+            index_vectors, index_rate, protect,
+            pitch_shift,        # [] semitones (traced)
+            autotune_strength,  # []
+            rng,
+            use_autotune: bool = False,
+            filter_radius: int = 3,
+            f0_frames: int = 0,
+        ):
+            # RMVPE salience -> f0 (predictors/rmvpe.py numerics)
+            mel = rmvpe_mel(audio16k)[:, :f0_frames]
+            pad = (-f0_frames) % 32
+            mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+            hidden = rmvpe.model.apply(
+                {"params": rmvpe_params, "batch_stats": rmvpe_stats}, mel
+            )
+            f0 = jax.vmap(decode_salience)(hidden[:, :f0_frames])
+
+            # median filter (scipy.medfilt semantics: zero-padded edges)
+            if filter_radius >= 3:
+                r = filter_radius if filter_radius % 2 == 1 else filter_radius + 1
+                padded = jnp.pad(f0, ((0, 0), (r // 2, r // 2)))
+                windows = jnp.stack(
+                    [padded[:, i : i + f0.shape[1]] for i in range(r)], axis=-1
+                )
+                f0 = jnp.sort(windows, axis=-1)[..., r // 2]
+
+            if use_autotune:
+                freqs = jnp.asarray(AUTOTUNE_REF_FREQS)
+                idx = jnp.argmin(jnp.abs(f0[..., None] - freqs[None, None]),
+                                 axis=-1)
+                f0 = f0 + (freqs[idx] - f0) * autotune_strength
+
+            f0 = f0 * (2.0 ** (pitch_shift / 12.0))
+
+            # coarse 255-bin quantization (coarse_f0, jnp form)
+            f0_mel_min = 1127.0 * jnp.log(1.0 + F0_MIN / 700.0)
+            f0_mel_max = 1127.0 * jnp.log(1.0 + F0_MAX / 700.0)
+            f0_mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+            scaled = (f0_mel - f0_mel_min) * 254.0 / (f0_mel_max - f0_mel_min) + 1.0
+            f0_mel = jnp.where(f0_mel > 0, scaled, f0_mel)
+            coarse = jnp.rint(jnp.clip(f0_mel, 1.0, 255.0)).astype(jnp.int32)
+
+            frames = audio16k.shape[1] // WINDOW
+            pitch = coarse[:, :frames]
+            pitchf = f0[:, :frames].astype(jnp.float32)
+            return self._convert_core(
+                synth_params, emb_params, audio16k, pitch, pitchf,
+                p_len, sid, index_vectors, index_rate, protect, rng,
+                use_pitch=True,
+            )
+
+        self._convert_fused = _convert_fused
+
+    def voice_conversion_fused(
+        self,
+        audio_seg: np.ndarray,
+        sid: int,
+        index_vectors: Optional[jax.Array],
+        index_rate: float,
+        protect: float,
+        rng: jax.Array,
+        pitch_shift: int = 0,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        filter_radius: int = 3,
+    ) -> np.ndarray:
+        """One-round-trip conversion: f0 (RMVPE) + quantize + convert in a
+        single jitted call. Semantically equal to get_f0 + voice_conversion
+        for the rmvpe method without an external f0 file."""
+        t_real = audio_seg.shape[0]
+        p_len = t_real // WINDOW
+        t_pad = self._bucket_len(t_real)
+        audio_in = np.zeros(t_pad, np.float32)
+        audio_in[:t_real] = audio_seg
+        audio_out = self._convert_fused(
+            self.synth_params,
+            self.embedder_params,
+            self._rmvpe.params,
+            self._rmvpe.batch_stats,
+            jnp.asarray(audio_in[None]),
+            jnp.asarray([p_len], jnp.int32),
+            jnp.asarray([sid], jnp.int32),
+            index_vectors,
+            jnp.asarray(index_rate, jnp.float32),
+            jnp.asarray(protect, jnp.float32),
+            jnp.asarray(pitch_shift, jnp.float32),
+            jnp.asarray(f0_autotune_strength, jnp.float32),
+            rng,
+            use_autotune=bool(f0_autotune),
+            filter_radius=int(filter_radius),
+            f0_frames=t_pad // WINDOW + 1,
+        )
+        out = self._to_host(audio_out)[0]
+        return out[: p_len * self.upp]
 
     # -- host-side helpers ---------------------------------------------------
+
+    @staticmethod
+    def _to_host(audio_out) -> np.ndarray:
+        out = np.asarray(audio_out)
+        if out.dtype == np.int16:
+            out = out.astype(np.float32) / 32767.0
+        return out
 
     def _highpass(self, audio: np.ndarray) -> np.ndarray:
         bh, ah = sps.butter(5, 48, btype="high", fs=SAMPLE_RATE)
@@ -359,7 +512,7 @@ class Pipeline:
             rng,
             use_pitch=use_pitch,
         )
-        out = np.asarray(audio_out)[0]
+        out = self._to_host(audio_out)[0]
         return out[: p_len * self.upp]
 
     def convert_segments_batch(
@@ -392,7 +545,7 @@ class Pipeline:
                 n = min(p_lens[i], len(pitches[i]))
                 pit[i, :n] = pitches[i][:n]
                 pif[i, :n] = pitchfs[i][:n]
-        out = np.asarray(self._convert(
+        out = self._to_host(self._convert(
             self.synth_params,
             self.embedder_params,
             jnp.asarray(audio_in),
@@ -439,6 +592,33 @@ class Pipeline:
         opt_ts = self._find_cut_points(audio)
         audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
         p_len = audio_pad.shape[0] // WINDOW
+
+        # single-segment rmvpe conversions take the fused one-round-trip
+        # graph (f0 + quantize + convert in one device call); the windowed
+        # long-audio path and external f0 files keep the global-f0 path.
+        if (pitch_guidance and not opt_ts and inp_f0 is None
+                and f0_method == "rmvpe" and self._rmvpe is None
+                and predictors is not None
+                and hasattr(predictors.get("rmvpe"), "__self__")):
+            self.set_rmvpe(predictors["rmvpe"].__self__)
+        if (pitch_guidance and not opt_ts and inp_f0 is None
+                and f0_method == "rmvpe" and self._rmvpe is not None):
+            rng, sub = jax.random.split(rng)
+            seg_out = self.voice_conversion_fused(
+                audio_pad, sid, index_arr, index_rate, protect, sub,
+                pitch_shift=pitch_shift, f0_autotune=f0_autotune,
+                f0_autotune_strength=f0_autotune_strength,
+                filter_radius=int(filter_radius or 0),
+            )
+            audio_opt = seg_out[self.t_pad_tgt : -self.t_pad_tgt]
+            if volume_envelope != 1.0:
+                audio_opt = change_rms(
+                    audio, SAMPLE_RATE, audio_opt, self.tgt_sr, volume_envelope
+                )
+            peak = np.abs(audio_opt).max() / 0.99
+            if peak > 1.0:
+                audio_opt = audio_opt / peak
+            return audio_opt.astype(np.float32)
 
         pitch = pitchf = None
         if pitch_guidance:

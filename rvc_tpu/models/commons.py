@@ -94,9 +94,12 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     use_weight_norm: bool = False
     kernel_init_std: Optional[float] = None  # None -> lecun_normal
+    # exact time-fold transform for small-channel convs over long signals
+    # (ops/folded_conv.py): identical math, ~MXU-width contraction
+    auto_fold: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_weights: bool = False):
         in_ch = x.shape[-1]
         k = self.kernel_size
         kernel_shape = (k, in_ch // self.groups, self.features)
@@ -118,12 +121,37 @@ class Conv1d(nn.Module):
             )
             kernel = kernel / norm * g[None, None, :]
 
+        if return_weights:
+            # effective (norm-folded) weights for externally fused kernels
+            # (ops/resblock_pallas.py); x is used only for dtype/shape
+            bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                    if self.use_bias else jnp.zeros((self.features,)))
+            return kernel, bias
+
         pad = self.padding
         if pad is None:
             pad = (k * self.dilation - self.dilation) // 2
         # Mixed precision: f32 mask multiplies may promote activations; the
         # conv follows the parameter dtype (bf16 under the train policy).
         x = x.astype(kernel.dtype)
+        if (self.auto_fold and self.stride == 1 and self.groups == 1
+                and k % 2 == 1
+                and pad == (k * self.dilation - self.dilation) // 2
+                and max(in_ch, self.features) <= 64
+                and x.shape[1] >= 32768):
+            fold = 128 // max(in_ch, self.features)
+            while fold > 1 and x.shape[1] % fold:
+                fold //= 2
+            if fold > 1:
+                from ..ops.folded_conv import folded_conv1d
+
+                y = folded_conv1d(x, kernel, self.dilation, fold)
+                if self.use_bias:
+                    bias = self.param(
+                        "bias", nn.initializers.zeros, (self.features,)
+                    )
+                    y = y + bias
+                return y
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -304,7 +332,12 @@ class WaveNet(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """HiFi-GAN multi-dilation residual block (reference residuals.py:34-90)."""
+    """HiFi-GAN multi-dilation residual block (reference residuals.py:34-90).
+
+    On TPU, long small-channel signals route through the fused Pallas kernel
+    (ops/resblock_pallas.py): the whole 6-conv chain runs in VMEM as folded
+    MXU matmuls, one HBM read + one write instead of 12. Disable with
+    RVC_TPU_DISABLE_PALLAS_RESBLOCK=1."""
 
     channels: int
     kernel_size: int = 3
@@ -312,6 +345,38 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("RVC_TPU_DISABLE_PALLAS_RESBLOCK", "") != "1"
+            and x.shape[1] >= 32768
+            and self.channels <= 128
+            and x.shape[-1] == self.channels
+            and self.kernel_size % 2 == 1
+        )
+        if use_pallas:
+            k1, b1, k2, b2 = [], [], [], []
+            for i, d in enumerate(self.dilations):
+                w, bb = Conv1d(
+                    self.channels, self.kernel_size, dilation=d,
+                    use_weight_norm=True, kernel_init_std=0.01,
+                    name=f"conv1_{i}",
+                )(x, return_weights=True)
+                k1.append(w)
+                b1.append(bb)
+                w, bb = Conv1d(
+                    self.channels, self.kernel_size, dilation=1,
+                    use_weight_norm=True, kernel_init_std=0.01,
+                    name=f"conv2_{i}",
+                )(x, return_weights=True)
+                k2.append(w)
+                b2.append(bb)
+            from ..ops.resblock_pallas import fused_resblock
+
+            return fused_resblock(
+                x, k1, b1, k2, b2, tuple(self.dilations), slope=LRELU_SLOPE
+            )
         for i, d in enumerate(self.dilations):
             residual = x
             y = leaky_relu(x)

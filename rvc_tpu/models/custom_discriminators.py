@@ -263,6 +263,181 @@ class MultiScaleDiscriminator(nn.Module):
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
+def _haar_dwt(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Single-level Haar DWT over time: [B, T, C] -> (high, low) at T//2
+    (FreGAN's DWT_1D, i.e. pywt 'haar' decomposition filters)."""
+    t = x.shape[1] - (x.shape[1] % 2)
+    even = x[:, 0:t:2]
+    odd = x[:, 1:t:2]
+    inv_sqrt2 = 0.7071067811865476
+    return (even - odd) * inv_sqrt2, (even + odd) * inv_sqrt2
+
+
+def _to_period_2d(x: jax.Array, period: int) -> jax.Array:
+    """[B, T, C] -> [B, T//p, p, C] with reflect padding to a multiple."""
+    b, t, c = x.shape
+    if t % period:
+        x = jnp.pad(x, ((0, 0), (0, period - t % period), (0, 0)),
+                    mode="reflect")
+        t = x.shape[1]
+    return x.reshape(b, t // period, period, c)
+
+
+class ResWiseDiscriminatorP(nn.Module):
+    """FreGAN period discriminator with DWT side branches
+    (fregan_mpd.py:15-111): Haar-DWT pyramids of the waveform are projected
+    and concatenated into the conv trunk along the time axis after stages
+    0/1/2."""
+
+    period: int
+    kernel: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        pad = (self.kernel - 1) // 2
+
+        def proj(name, ch, inp):
+            return WNConv2d(ch, (self.kernel, 1), strides=(self.stride, 1),
+                            padding=(pad, 0), name=name)(inp)
+
+        # DWT pyramid (levels 1-3), each squeezed back to 1 channel
+        d1_hi, d1_lo = _haar_dwt(x)
+        x_d1 = Conv1d(1, 1, name="dwt_conv1")(
+            jnp.concatenate([d1_hi, d1_lo], axis=-1))
+        x_d1 = proj("dwt_proj1", 32, _to_period_2d(x_d1, self.period))
+
+        d2 = [_haar_dwt(d1_hi), _haar_dwt(d1_lo)]
+        x_d2 = Conv1d(1, 1, name="dwt_conv2")(
+            jnp.concatenate([a for pair in d2 for a in pair], axis=-1))
+        x_d2 = proj("dwt_proj2", 128, _to_period_2d(x_d2, self.period))
+
+        d3 = [_haar_dwt(a) for pair in d2 for a in pair]
+        x_d3 = Conv1d(1, 1, name="dwt_conv3")(
+            jnp.concatenate([a for pair in d3 for a in pair], axis=-1))
+        x_d3 = proj("dwt_proj3", 512, _to_period_2d(x_d3, self.period))
+
+        h = _to_period_2d(x, self.period)
+        fmap = []
+        side = {0: x_d1, 1: x_d2, 2: x_d3}
+        for i, ch in enumerate((32, 128, 512, 1024, 1024)):
+            stride = (self.stride, 1) if i < 4 else (1, 1)
+            p = pad if i < 4 else 2
+            h = WNConv2d(ch, (self.kernel, 1), strides=stride,
+                         padding=(p, 0), name=f"conv_{i}")(h)
+            h = leaky_relu(h, 0.1)
+            fmap.append(h)
+            if i in side:
+                # concat the DWT branch along time (fregan_mpd.py:99-105)
+                h = jnp.concatenate([h, side[i]], axis=1)
+        h = WNConv2d(1, (3, 1), padding=(1, 0), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class ResWiseMultiPeriodDiscriminator(nn.Module):
+    """FreGAN ResWise MPD over periods (2,3,5,7,11,17,23,37)
+    (fregan_mpd.py:114-140)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11, 17, 23, 37)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        discs = [ResWiseDiscriminatorP(p, name=f"disc_p{p}")
+                 for p in self.periods]
+        return _run_discs(discs, y, y_hat)
+
+
+class _MMSDPeriod(nn.Module):
+    """descript-style period discriminator (mmsd.py:27-62)."""
+
+    period: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        h = _to_period_2d(x, self.period)
+        fmap = []
+        for i, ch in enumerate((32, 128, 512, 1024, 1024)):
+            stride = (3, 1) if i < 4 else (1, 1)
+            h = WNConv2d(ch, (5, 1), strides=stride, padding=(2, 0),
+                         name=f"conv_{i}")(h)
+            h = leaky_relu(h, 0.1)
+            fmap.append(h)
+        h = WNConv2d(1, (3, 1), padding=(1, 0), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class _MMSDBandMRD(nn.Module):
+    """Complex multi-band spectrogram discriminator (mmsd.py:101-172):
+    real+imag STFT split into 5 frequency bands, a conv stack per band,
+    band outputs concatenated along frequency for the post conv."""
+
+    window_length: int
+    hop_factor: float = 0.25
+    bands: Sequence[Tuple[float, float]] = (
+        (0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0),
+    )
+    channels: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        wav = x[..., 0]
+        hop = int(self.window_length * self.hop_factor)
+        pad = self.window_length // 2
+        y = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        window = jnp.asarray(np.hanning(self.window_length).astype(np.float32))
+        n_frames = 1 + (y.shape[1] - self.window_length) // hop
+        idx = (jnp.arange(self.window_length)[None, :]
+               + hop * jnp.arange(n_frames)[:, None])
+        spec = jnp.fft.rfft(y[:, idx] * window, axis=-1)  # [B, T, F]
+        h = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [B,T,F,2]
+
+        n_fft = self.window_length // 2 + 1
+        edges = [(int(a * n_fft), int(b * n_fft)) for a, b in self.bands]
+        fmap = []
+        outs = []
+        for bi, (lo, hi_) in enumerate(edges):
+            band = h[:, :, lo:hi_]
+            for i, (k, s) in enumerate([((3, 9), (1, 1)), ((3, 9), (1, 2)),
+                                        ((3, 9), (1, 2)), ((3, 9), (1, 2)),
+                                        ((3, 3), (1, 1))]):
+                band = WNConv2d(
+                    self.channels, k, strides=s,
+                    padding=((k[0] - 1) // 2, (k[1] - 1) // 2),
+                    name=f"band{bi}_conv{i}",
+                )(band)
+                band = leaky_relu(band, 0.1)
+                fmap.append(band)
+            outs.append(band)
+        h = jnp.concatenate(outs, axis=2)  # along frequency
+        h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiMelScaleDiscriminator(nn.Module):
+    """MMSD (mmsd.py:175-223): DC removal + peak normalization, then MPDs
+    over (2,3,5,7,11) and complex band-split MRDs over (2048,1024,512)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    fft_sizes: Sequence[int] = (2048, 1024, 512)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        def preprocess(a):
+            a = a - a.mean(axis=1, keepdims=True)
+            return 0.8 * a / (jnp.abs(a).max(axis=1, keepdims=True) + 1e-9)
+
+        y = preprocess(y)
+        y_hat = preprocess(y_hat)
+        discs = (
+            [_MMSDPeriod(p, name=f"disc_p{p}") for p in self.periods]
+            + [_MMSDBandMRD(f, name=f"disc_mrd{f}") for f in self.fft_sizes]
+        )
+        return _run_discs(discs, y, y_hat)
+
+
 class CombinedDiscriminator(nn.Module):
     """Chain several discriminators into one adversary
     (discriminator_wrapper.py:7-29)."""
@@ -299,6 +474,8 @@ DISCRIMINATOR_REGISTRY = {
     "msstft": MultiScaleSTFTDiscriminator,
     "mssbcqt": MultiScaleSubbandCQTDiscriminator,
     "msd": MultiScaleDiscriminator,
+    "fregan_mpd": ResWiseMultiPeriodDiscriminator,
+    "mmsd": MultiMelScaleDiscriminator,
 }
 
 

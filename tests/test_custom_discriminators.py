@@ -87,3 +87,45 @@ def test_build_discriminator_registry():
     assert isinstance(d, MultiResolutionDiscriminator)
     with pytest.raises(ValueError):
         build_discriminator(["nope"])
+
+
+@pytest.mark.slow
+def test_fregan_reswise_mpd():
+    from rvc_tpu.models.custom_discriminators import (
+        ResWiseMultiPeriodDiscriminator,
+    )
+
+    d = ResWiseMultiPeriodDiscriminator(periods=(2, 3))
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    _check_output(d.apply(vs, _wave(), _wave(1)), 2)
+
+
+@pytest.mark.slow
+def test_mmsd():
+    from rvc_tpu.models.custom_discriminators import MultiMelScaleDiscriminator
+
+    d = MultiMelScaleDiscriminator(periods=(2,), fft_sizes=(512,))
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    _check_output(d.apply(vs, _wave(), _wave(1)), 2)
+
+
+def test_haar_dwt_perfect_reconstruction():
+    from rvc_tpu.models.custom_discriminators import _haar_dwt
+
+    x = _wave()
+    hi, lo = _haar_dwt(x)
+    assert hi.shape == lo.shape == (1, T // 2, 1)
+    inv_sqrt2 = 0.7071067811865476
+    even = (lo + hi) * inv_sqrt2
+    odd = (lo - hi) * inv_sqrt2
+    np.testing.assert_allclose(np.asarray(even)[0, :, 0],
+                               np.asarray(x)[0, 0::2, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(odd)[0, :, 0],
+                               np.asarray(x)[0, 1::2, 0], atol=1e-6)
+
+
+def test_registry_has_all_reference_discriminators():
+    from rvc_tpu.models.custom_discriminators import DISCRIMINATOR_REGISTRY
+
+    assert {"mpd_v1", "mrd", "msstft", "mssbcqt", "msd",
+            "fregan_mpd", "mmsd"} <= set(DISCRIMINATOR_REGISTRY)

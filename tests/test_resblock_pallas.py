@@ -1,0 +1,70 @@
+"""Fused ResBlock Pallas kernel vs the direct conv chain (interpret mode on
+CPU; the real Mosaic path is exercised on TPU by the bench/pipeline)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.ops.resblock_pallas import fused_resblock
+
+pytestmark = pytest.mark.slow
+
+
+def _direct(x, k1, b1, k2, b2, dil, K):
+    def lrelu(a):
+        return jnp.where(a >= 0, a, a * 0.1)
+
+    y = x
+    for d, w1, bb1, w2, bb2 in zip(dil, k1, b1, k2, b2):
+        pad = (K * d - d) // 2
+        a = lrelu(y)
+        m = jax.lax.conv_general_dilated(
+            a, w1, (1,), ((pad, pad),), rhs_dilation=(d,),
+            dimension_numbers=("NHC", "HIO", "NHC")) + bb1
+        a2 = lrelu(m)
+        c = jax.lax.conv_general_dilated(
+            a2, w2, (1,), (((K - 1) // 2, (K - 1) // 2),),
+            dimension_numbers=("NHC", "HIO", "NHC")) + bb2
+        y = y + c
+    return y
+
+
+@pytest.mark.parametrize("T,C,K,tile", [
+    (32768, 32, 11, 1024),
+    (32768, 32, 3, 1024),
+    (16384, 64, 7, 2048),     # ragged folded tiles
+    (21504, 128, 11, 512),    # fold = 1
+])
+def test_fused_resblock_matches_direct(T, C, K, tile):
+    rng = np.random.default_rng(0)
+    dil = (1, 3, 5)
+    x = jnp.asarray(rng.normal(size=(1, T, C)), jnp.float32)
+    k1 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b1 = [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32) for _ in dil]
+    k2 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b2 = [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32) for _ in dil]
+
+    ref = _direct(x, k1, b1, k2, b2, dil, K)
+    out = fused_resblock(x, k1, b1, k2, b2, dil, tile=tile, interpret=True)
+    rel = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+    assert rel < 5e-6, rel
+
+
+def test_fused_resblock_batch():
+    rng = np.random.default_rng(1)
+    T, C, K = 32768, 32, 3
+    dil = (1, 3)
+    x = jnp.asarray(rng.normal(size=(2, T, C)), jnp.float32)
+    k1 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b1 = [jnp.zeros((C,), jnp.float32) for _ in dil]
+    k2 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b2 = [jnp.zeros((C,), jnp.float32) for _ in dil]
+    ref = _direct(x, k1, b1, k2, b2, dil, K)
+    out = fused_resblock(x, k1, b1, k2, b2, dil, tile=1024, interpret=True)
+    rel = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+    assert rel < 5e-6, rel

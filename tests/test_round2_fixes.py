@@ -311,6 +311,59 @@ def test_pesq_wb_estimator():
     assert pesq_wb(ref, ref * 0.3) > 4.5
 
 
+@pytest.mark.slow
+def test_fused_conversion_matches_unfused(tiny_pipe):
+    """The one-round-trip fused graph (RMVPE f0 + medfilt + autotune +
+    quantize + convert) must equal the host-orchestrated path."""
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
+
+    rmvpe = RMVPE(model=E2EModel(n_blocks=1, en_de_layers=2, inter_layers=1,
+                                 en_out_channels=2, gru_hidden=4))
+    # pin a strongly peaked salience (random weights give a near-uniform
+    # salience whose argmax flips under fp jitter between the two traces)
+    bias = np.full(360, -6.0, np.float32)
+    bias[120] = 6.0
+    rmvpe.params = dict(rmvpe.params)
+    rmvpe.params["fc"] = {
+        "kernel": jnp.zeros_like(rmvpe.params["fc"]["kernel"]),
+        "bias": jnp.asarray(bias),
+    }
+
+    tt = np.arange(2 * 16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * tt)).astype(np.float32)
+
+    key = jax.random.PRNGKey(3)
+    kwargs = dict(
+        sid=0, pitch_shift=2, index_rate=0.0, protect=0.4,
+        f0_autotune=True, f0_autotune_strength=0.8, filter_radius=3,
+        volume_envelope=1.0, rng=key,
+    )
+
+    # unfused path must see the SAME samples the fused graph pads to its
+    # conversion bucket (zero-extension), so wrap the predictor accordingly
+    def host_predictor(a):
+        t_pad = tiny_pipe._bucket_len(len(a))
+        padded = np.zeros(t_pad, np.float32)
+        padded[: len(a)] = a
+        return rmvpe.infer_from_audio(padded)[: len(a) // 160 + 1]
+
+    # plain callable (no RMVPE __self__) forces the host-orchestrated path
+    out_host = tiny_pipe.pipeline(
+        audio, f0_method="rmvpe",
+        predictors={"rmvpe": host_predictor}, **kwargs,
+    )
+    assert tiny_pipe._rmvpe is None
+    # fused: bound method carries the model; pipeline attaches it
+    out_fused = tiny_pipe.pipeline(
+        audio, f0_method="rmvpe",
+        predictors={"rmvpe": rmvpe.infer_from_audio}, **kwargs,
+    )
+    assert tiny_pipe._rmvpe is not None
+    assert len(out_host) == len(out_fused)
+    np.testing.assert_allclose(out_fused, out_host, atol=2e-3)
+    tiny_pipe._rmvpe = None  # leave the shared fixture unfused
+
+
 def test_export_pth_reference_layout(tmp_path):
     """export_rvc_pth writes 'weight' + the 18-element config list the
     reference loader reads (infer.py:469-483)."""
