@@ -147,17 +147,49 @@ class Slicer:
 
 
 def spectral_gate(
-    audio: np.ndarray, sr: int, prop_decrease: float = 0.7, n_fft: int = 1024
+    audio: np.ndarray,
+    sr: int,
+    prop_decrease: float = 0.7,
+    n_fft: int = 1024,
+    n_std_thresh: float = 1.5,
+    freq_mask_smooth_hz: float = 500.0,
+    time_mask_smooth_ms: float = 50.0,
 ) -> np.ndarray:
-    """Minimal stationary spectral-gate denoise (noisereduce stand-in used by
-    preprocess.py:149 / infer.py:87; same knob surface, simplified method)."""
+    """Stationary spectral-gate denoise following noisereduce's algorithm
+    (used by preprocess.py:149 / infer.py:87): per-frequency noise statistics
+    in dB over the clip, a mean + n_std threshold, a boolean gate smoothed by
+    a separable time-frequency fade, scaled by prop_decrease
+    (clean_strength)."""
     hop = n_fft // 4
-    f, t, Z = sps.stft(audio, sr, nperseg=n_fft, noverlap=n_fft - hop)
-    mag = np.abs(Z)
-    noise_floor = np.quantile(mag, 0.10, axis=1, keepdims=True)
-    thresh = noise_floor * 1.5
-    gain = np.clip((mag - thresh) / np.maximum(mag, 1e-9), 0.0, 1.0)
-    gain = 1.0 - prop_decrease * (1.0 - gain)
+    _, _, Z = sps.stft(audio, sr, nperseg=n_fft, noverlap=n_fft - hop)
+    mag_db = 20.0 * np.log10(np.abs(Z) + 1e-12)
+
+    # noise profile from the quietest 20% of frames (automatic noise-clip
+    # selection; noisereduce takes an explicit noise clip — preprocess has
+    # none, so the low-energy frames stand in for it)
+    frame_db = mag_db.mean(axis=0)
+    noise_sel = frame_db <= np.quantile(frame_db, 0.2)
+    if not noise_sel.any():
+        noise_sel[:] = True
+    noise = mag_db[:, noise_sel]
+    mean_db = noise.mean(axis=1, keepdims=True)
+    std_db = noise.std(axis=1, keepdims=True)
+    thresh = mean_db + n_std_thresh * std_db
+    mask = (mag_db > thresh).astype(np.float32)
+
+    # separable triangular smoothing (noisereduce's fade filter)
+    n_freq = max(1, int(freq_mask_smooth_hz / (sr / n_fft)))
+    n_time = max(1, int(time_mask_smooth_ms / 1000.0 * sr / hop))
+    kf = np.concatenate([np.linspace(0, 1, n_freq + 1),
+                         np.linspace(1, 0, n_freq + 2)[1:-1]])
+    kt = np.concatenate([np.linspace(0, 1, n_time + 1),
+                         np.linspace(1, 0, n_time + 2)[1:-1]])
+    kern = np.outer(kf, kt)
+    kern = kern / kern.sum()
+    mask = sps.fftconvolve(mask, kern, mode="same")
+    mask = np.clip(mask, 0.0, 1.0)
+
+    gain = 1.0 - prop_decrease * (1.0 - mask)
     _, out = sps.istft(Z * gain, sr, nperseg=n_fft, noverlap=n_fft - hop)
     return out[: len(audio)].astype(np.float32)
 

@@ -9,6 +9,8 @@ from rvc_tpu.utils.checkpoints import (
 )
 from rvc_tpu.utils.model_tools import _blend_trees, model_blender, model_information
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 
 def test_save_load_roundtrip(tmp_path):
     params = {

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 from rvc_tpu.models.custom_discriminators import (
+
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
     CombinedDiscriminator,
     DiscriminatorR,
     MultiResolutionDiscriminator,

@@ -17,6 +17,8 @@ import pytest
 from rvc_tpu.configs import get_config
 from rvc_tpu.models.synthesizer import Synthesizer
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "tiny_synth_out.npz")
 REF_DIR = "/root/reference/logs/reference"
 

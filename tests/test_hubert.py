@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from rvc_tpu.embedders import FlaxHubert, HubertConfig, convert_torch_hubert
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 
 @pytest.fixture(scope="module")
 def torch_hubert():

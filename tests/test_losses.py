@@ -8,6 +8,8 @@ import pytest
 
 from rvc_tpu.train import losses as L
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 
 def test_lsgan_discriminator_loss_perfect():
     real = [jnp.ones((2, 5))]

@@ -13,6 +13,8 @@ from rvc_tpu.models.flows import ResidualCouplingBlock
 from rvc_tpu.models.generators.nsf import HiFiGANNSFGenerator
 from rvc_tpu.models.generators.sine import SineGenerator
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 
 def small_synth(vocoder="HiFi-GAN"):
     return Synthesizer(

@@ -9,6 +9,8 @@ import pytest
 
 from rvc_tpu.predictors.dsp_f0 import yin_f0_np
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 
 def _tone(freq, seconds=1.0, sr=16000, amp=0.4):
     t = np.arange(int(seconds * sr)) / sr

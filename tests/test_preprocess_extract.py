@@ -12,6 +12,8 @@ from rvc_tpu.train.preprocess import (
 from rvc_tpu.train.extract import coarse_f0_train
 from rvc_tpu.utils.audio_io import write_wav
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 SR = 32000
 
 
@@ -103,3 +105,28 @@ def test_extract_and_index_end_to_end(tmp_path):
         assert f0c.min() >= 1 and f0c.max() <= 255
     index_path = build_index(exp)
     assert os.path.exists(index_path)
+
+
+def test_spectral_gate_noisereduce_behavior():
+    """Stationary spectral gate: bursty harmonic content survives, gaps are
+    attenuated, and clean_strength scales the reduction (noisereduce
+    semantics, preprocess.spectral_gate)."""
+    rng = np.random.default_rng(0)
+    sr = 48000
+    t = np.arange(sr * 3) / sr
+    env = (np.sin(2 * np.pi * 1.5 * t) > 0).astype(np.float32)
+    saw = sum(np.sin(2 * np.pi * k * 150 * t) / k for k in range(1, 40))
+    mixed = (0.25 * saw * env
+             + rng.normal(size=len(t)) * 0.02).astype(np.float32)
+    from rvc_tpu.train.preprocess import spectral_gate
+
+    on, off = env > 0.5, env <= 0.5
+    reductions = []
+    for strength in (0.5, 0.9):
+        out = spectral_gate(mixed, sr, strength)
+        burst_keep = np.sqrt(np.mean(out[on] ** 2)) / np.sqrt(np.mean(mixed[on] ** 2))
+        gap_cut = np.sqrt(np.mean(out[off] ** 2)) / np.sqrt(np.mean(mixed[off] ** 2))
+        assert burst_keep > 0.7, burst_keep
+        assert gap_cut < 0.6, gap_cut
+        reductions.append(gap_cut)
+    assert reductions[1] < reductions[0]  # strength scales the gate

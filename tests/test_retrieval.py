@@ -3,9 +3,12 @@ rvc/infer/pipeline.py:497-507,553-561 and extract_index.py)."""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from rvc_tpu.ops.retrieval import FeatureIndex, kmeans, knn_search, retrieve_blend
+
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
 
 
 def _brute_force(queries, vectors, k):

@@ -1,11 +1,14 @@
 """Pallas streaming k-NN kernel vs the dense XLA reference (interpret mode
 on CPU; the same kernel compiles for real on TPU)."""
 
-import jax.numpy as jnp
+import jax
+import pytest.numpy as jnp
 import numpy as np
 
 from rvc_tpu.ops.retrieval import knn_search
 from rvc_tpu.ops.retrieval_pallas import knn_search_pallas
+
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
 
 
 def test_pallas_knn_matches_dense():

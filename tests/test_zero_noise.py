@@ -11,6 +11,8 @@ import pytest
 from rvc_tpu.configs import get_config
 from rvc_tpu.models.synthesizer import Synthesizer
 
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg():
