@@ -78,29 +78,90 @@ class MultiHeadAttention(nn.Module):
             "bhtd,bhsd->bhts", q * scale, k, preferred_element_type=jnp.float32
         )
 
-        if self.window_size is not None:
-            n_rel = 1 if self.heads_share else h
-            rel_init = nn.initializers.normal(stddev=d**-0.5)
-            emb_rel_k = self.param(
-                "emb_rel_k", rel_init, (n_rel, 2 * self.window_size + 1, d)
-            )
-            emb_rel_v = self.param(
-                "emb_rel_v", rel_init, (n_rel, 2 * self.window_size + 1, d)
-            )
-            rel_k = _window_rel_embeddings(emb_rel_k, t, self.window_size)
-            rel_logits = jnp.einsum("bhtd,nrd->bhtr", q * scale, rel_k)
-            scores = scores + _rel_to_abs(rel_logits)
-
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
 
-        p_attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
+        if self.window_size is not None and t > self.window_size:
+            # Banded-correction softmax: the windowed rel-pos bias touches
+            # only 2w+1 diagonals, so instead of materializing biased
+            # [B,H,T,T] scores through the rel->abs skew (six full-matrix
+            # relayouts per layer — measured 30 ms of a 35 ms encoder), keep
+            # the plain softmax and correct it with [B,H,T,2w+1] band terms:
+            #
+            #   softmax(S + B) @ (v + ev) =
+            #     [exp(S-lse) @ v + sum_o c_o * v_{t+o} + e^B_band @ ev]
+            #     / (1 + sum_o c_o),
+            #   c_o = exp(S_band + B - lse) - exp(S_band - lse)
+            #
+            # Algebraically identical to the reference computation.
+            w = self.window_size
+            n_rel = 1 if self.heads_share else h
+            rel_init = nn.initializers.normal(stddev=d**-0.5)
+            emb_rel_k = self.param(
+                "emb_rel_k", rel_init, (n_rel, 2 * w + 1, d)
+            )
+            emb_rel_v = self.param(
+                "emb_rel_v", rel_init, (n_rel, 2 * w + 1, d)
+            )
+            bias_band = jnp.einsum(
+                "bhtd,nrd->bhtr", q * scale, emb_rel_k
+            )  # [B,H,T,2w+1]
+            col = (jax.lax.broadcasted_iota(jnp.int32, (t, 2 * w + 1), 0)
+                   + jax.lax.broadcasted_iota(
+                       jnp.int32, (t, 2 * w + 1), 1) - w)
+            valid = ((col >= 0) & (col < t))[None, None]
 
-        if self.window_size is not None:
+            qs = q * scale
+            k_sh = [jnp.roll(k, -(r - w), axis=2) for r in range(2 * w + 1)]
+            v_sh = [jnp.roll(v, -(r - w), axis=2) for r in range(2 * w + 1)]
+            score_band = jnp.stack(
+                [jnp.sum(qs * ks, axis=-1) for ks in k_sh], axis=-1
+            )  # [B,H,T,2w+1]
+            if attn_mask is not None:
+                # mirror the dense key masking on the banded scores:
+                # band (t, r) attends key s = t + r - w
+                km = jnp.broadcast_to(attn_mask, (b, 1, 1, t))[:, 0, 0, :]
+                bm = jnp.stack(
+                    [jnp.roll(km, -(r - w), axis=-1)
+                     for r in range(2 * w + 1)], axis=-1)  # [B, T, 2w+1]
+                score_band = jnp.where(
+                    bm[:, None] == 0, -1e4, score_band
+                )
+
+            lse = jax.nn.logsumexp(scores, axis=-1, keepdims=True)
+            p_plain = jnp.exp(scores - lse)
+            e_biased = jnp.exp(score_band + bias_band - lse) * valid
+            e_plain = jnp.exp(score_band - lse) * valid
+            c = e_biased - e_plain
+            denom = 1.0 + jnp.sum(c, axis=-1, keepdims=True)
+
+            out = jnp.einsum("bhts,bhsd->bhtd", p_plain, v)
+            for r in range(2 * w + 1):
+                out = out + c[..., r : r + 1] * v_sh[r]
+            out = out + jnp.einsum("bhtr,nrd->bhtd", e_biased, emb_rel_v)
+            out = out / denom
+        elif self.window_size is not None:
+            # short sequences: the dense skew is cheap at these lengths
+            w = self.window_size
+            n_rel = 1 if self.heads_share else h
+            rel_init = nn.initializers.normal(stddev=d**-0.5)
+            emb_rel_k = self.param(
+                "emb_rel_k", rel_init, (n_rel, 2 * w + 1, d)
+            )
+            emb_rel_v = self.param(
+                "emb_rel_v", rel_init, (n_rel, 2 * w + 1, d)
+            )
+            rel_k = _window_rel_embeddings(emb_rel_k, t, w)
+            rel_logits = jnp.einsum("bhtd,nrd->bhtr", q * scale, rel_k)
+            scores = scores + _rel_to_abs(rel_logits)
+            p_attn = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
             rel_w = _abs_to_rel(p_attn)
-            rel_v = _window_rel_embeddings(emb_rel_v, t, self.window_size)
+            rel_v = _window_rel_embeddings(emb_rel_v, t, w)
             out = out + jnp.einsum("bhtr,nrd->bhtd", rel_w, rel_v)
+        else:
+            p_attn = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.channels)
         return Conv1d(self.out_channels, 1, name="conv_o")(out)
