@@ -389,11 +389,13 @@ class Pipeline:
         return opt_ts
 
     def _bucket_len(self, t: int) -> int:
-        """Pad a 16k segment length up to a canonical multiple of 2 s so jit
-        compiles at most ~35 shapes over the full operating range. Always
-        strictly greater than t so the (HuBERT-truncated) latent covers all
-        p_len real frames."""
-        step = 2 * SAMPLE_RATE
+        """Pad a 16k segment length up to a canonical multiple of 1 s so jit
+        compiles at most ~70 shapes over the full operating range (persistent
+        cache makes each a one-time cost). Always strictly greater than t so
+        the (HuBERT-truncated) latent covers all p_len real frames; finer
+        buckets waste at most ~1 s of synthesis per conversion (the old 2 s
+        steps wasted up to 12% of device compute on typical lengths)."""
+        step = SAMPLE_RATE
         return ((t + step) // step) * step
 
     def get_f0(

@@ -207,18 +207,52 @@ class ConvTranspose1d(nn.Module):
             )
             kernel = kernel / norm * g[None, :, None]
 
-        # Transposed conv == input-dilated conv with a spatially flipped kernel.
-        pad_l = k - 1 - self.padding
-        pad_r = k - 1 - self.padding + self.output_padding
         x = x.astype(kernel.dtype)
-        y = jax.lax.conv_general_dilated(
-            x,
-            jnp.flip(kernel, axis=0),
-            window_strides=(1,),
-            padding=((pad_l, pad_r),),
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        s = self.stride
+        if s > 1:
+            # Polyphase formulation: y_full[i*s + r] = sum_q x[i-q] @ W[r+q*s]
+            # — nq = ceil(k/s) full-width MXU matmuls of [T, in] x [in, s*out]
+            # instead of an input-dilated conv (XLA lowers the dilated form at
+            # a fraction of matmul throughput). Exact same sums.
+            b, t, _ = x.shape
+            nq = -(-k // s)
+            wq = []
+            for q in range(nq):
+                cols = []
+                for r in range(s):
+                    m = r + q * s
+                    cols.append(
+                        kernel[m] if m < k
+                        else jnp.zeros_like(kernel[0])
+                    )
+                wq.append(jnp.concatenate(cols, axis=-1))  # [in, s*out]
+            out_i = t + nq - 1
+            z = 0
+            for q in range(nq):
+                xq = jnp.pad(x, ((0, 0), (q, nq - 1 - q), (0, 0)))
+                z = z + jnp.matmul(
+                    xq, wq[q], preferred_element_type=jnp.float32
+                ).astype(kernel.dtype)
+            y_full = z.reshape(b, out_i * s, self.features)
+            y_full = y_full[:, : (t - 1) * s + k]
+            out_len = (t - 1) * s - 2 * self.padding + k + self.output_padding
+            if self.output_padding:
+                y_full = jnp.pad(
+                    y_full, ((0, 0), (0, self.output_padding), (0, 0))
+                )
+            y = y_full[:, self.padding : self.padding + out_len]
+        else:
+            # stride 1: input-dilated conv with a flipped kernel
+            pad_l = k - 1 - self.padding
+            pad_r = k - 1 - self.padding + self.output_padding
+            y = jax.lax.conv_general_dilated(
+                x,
+                jnp.flip(kernel, axis=0),
+                window_strides=(1,),
+                padding=((pad_l, pad_r),),
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
@@ -350,8 +384,8 @@ class ResBlock(nn.Module):
         use_pallas = (
             jax.default_backend() == "tpu"
             and os.environ.get("RVC_TPU_DISABLE_PALLAS_RESBLOCK", "") != "1"
-            and x.shape[1] >= 32768
-            and self.channels <= 128
+            and x.shape[1] >= 16384
+            and self.channels <= 256
             and x.shape[-1] == self.channels
             and self.kernel_size % 2 == 1
         )

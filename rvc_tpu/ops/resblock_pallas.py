@@ -71,6 +71,20 @@ def fused_resblock(
     lf = t // fold
 
     plan, halo = _plan(k, dilations, fold)
+    # VMEM budget: when the full chain's folded weights exceed ~6 MB (wide
+    # channels), run one kernel per dilation pair instead — the chain loses
+    # some fusion but each x pass is a single HBM read/write and the MXU
+    # matmul lowering still beats XLA's conv at these shapes.
+    n_taps = sum(len(p) for p in plan)
+    if len(dilations) > 1 and n_taps * fc * fc * 4 > 6 * 2 ** 20:
+        y = x
+        for d, w1, b1, w2, b2 in zip(dilations, kernels1, biases1,
+                                     kernels2, biases2):
+            y = fused_resblock(
+                y, [w1], [b1], [w2], [b2], (d,), slope=slope, tile=tile,
+                interpret=interpret,
+            )
+        return y
     n_tiles = -(-lf // tile)
     lf_pad = n_tiles * tile
 
