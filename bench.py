@@ -270,7 +270,7 @@ def main() -> None:
             record.update({k: round(v, 3) for k, v in bench_train().items()})
             _log(f"train bench done {time.perf_counter()-t0:.1f}s")
         except Exception as e:  # train bench must not sink the whole run
-            record["train_error"] = str(e)[:200]
+            record["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     xrt = full["full_xrt"]
     print(json.dumps({

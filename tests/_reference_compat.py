@@ -60,6 +60,7 @@ def install() -> None:
                 return x
 
         torchaudio = types.ModuleType("torchaudio")
+        torchaudio.__rvc_tpu_stub__ = True
         transforms = types.ModuleType("torchaudio.transforms")
         transforms.Resample = _IdentityResample
         torchaudio.transforms = transforms

@@ -7,8 +7,6 @@ import numpy as np
 import pytest
 
 from rvc_tpu.models.custom_discriminators import (
-
-pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
     CombinedDiscriminator,
     DiscriminatorR,
     MultiResolutionDiscriminator,
@@ -17,6 +15,8 @@ pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
     build_discriminator,
     cqt_kernels,
 )
+
+pytestmark = pytest.mark.slow  # jit-compiles models; see pytest.ini
 
 T = 4096
 

@@ -2,8 +2,9 @@
 on CPU; the same kernel compiles for real on TPU)."""
 
 import jax
-import pytest.numpy as jnp
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rvc_tpu.ops.retrieval import knn_search
 from rvc_tpu.ops.retrieval_pallas import knn_search_pallas

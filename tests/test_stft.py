@@ -85,6 +85,8 @@ def test_mel_filterbank_properties():
 
 def test_mel_filterbank_matches_torchaudio_if_available():
     torchaudio = pytest.importorskip("torchaudio")
+    if getattr(torchaudio, "__rvc_tpu_stub__", False):
+        pytest.skip("torchaudio is the parity-test stub, not the real wheel")
     fb_ref = torchaudio.functional.melscale_fbanks(
         n_freqs=1025,
         f_min=0.0,
