@@ -79,6 +79,10 @@ def _add_infer_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--formant_shifting", type=_bool, default=False)
     p.add_argument("--formant_qfrency", type=float, default=1.0)
     p.add_argument("--formant_timbre", type=float, default=1.0)
+    # inference numerics: bf16 mirrors the reference's fp16-first config
+    # (rvc/configs/config.py); fp32 for numerically exact runs
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["bf16", "fp32"])
     _add_post_fx_args(p)
 
 
@@ -243,7 +247,7 @@ def main(argv=None) -> int:
     if args.mode == "infer":
         from .infer.converter import VoiceConverter
 
-        VoiceConverter().convert_audio(
+        VoiceConverter(precision=args.precision).convert_audio(
             audio_input_path=args.input_path,
             audio_output_path=args.output_path,
             **_collect_infer_kwargs(args),
@@ -252,7 +256,7 @@ def main(argv=None) -> int:
     elif args.mode == "batch_infer":
         from .infer.converter import VoiceConverter
 
-        VoiceConverter().convert_audio_batch(
+        VoiceConverter(precision=args.precision).convert_audio_batch(
             audio_input_paths=args.input_folder,
             audio_output_path=args.output_folder,
             **_collect_infer_kwargs(args),

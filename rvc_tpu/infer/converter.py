@@ -32,9 +32,19 @@ class VoiceConverter:
         "crepe": os.path.join("models", "predictors", "crepe.pt"),
     }
 
-    def __init__(self, precision: str = "bf16"):
+    def __init__(self, precision: Optional[str] = None):
         """precision: "bf16" (default, mirrors the reference's fp16-first
-        inference config) or "fp32"."""
+        inference config) or "fp32"; when None, the UI settings file
+        (logs/ui_config.json, settings tab) is honored."""
+        if precision is None:
+            precision = "bf16"
+            try:
+                import json
+
+                with open(os.path.join("logs", "ui_config.json")) as f:
+                    precision = json.load(f).get("precision", "bf16")
+            except Exception:
+                pass
         self.precision = precision
         self.pipeline: Optional[Pipeline] = None
         self.loaded_model: Optional[str] = None

@@ -132,3 +132,93 @@ def test_rand_slice_in_bounds():
     ids = np.asarray(ids)
     assert np.all(ids >= 0)
     assert np.all(ids + 10 <= np.asarray(lengths))
+
+
+def test_conv_transpose_polyphase_matches_dilated():
+    """ConvTranspose1d's polyphase matmul path == the input-dilated conv
+    formulation for every (k, s, padding, output_padding) the vocoders use."""
+    import jax
+
+    from rvc_tpu.models.commons import ConvTranspose1d
+
+    rng = np.random.default_rng(0)
+    for (t, cin, cout, k, s, pad, op) in [
+        (50, 16, 8, 24, 12, 6, 0), (64, 8, 4, 20, 10, 5, 0),
+        (40, 8, 8, 4, 2, 1, 0), (33, 6, 5, 15, 5, 5, 1),
+    ]:
+        x = jnp.asarray(rng.normal(size=(2, t, cin)), jnp.float32)
+        m = ConvTranspose1d(cout, k, s, padding=pad, output_padding=op,
+                            use_weight_norm=True)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(vs, x)
+        kern = vs["params"]["kernel"]
+        g = vs["params"]["g"]
+        norm = jnp.sqrt(jnp.sum(jnp.square(kern), axis=(0, 2),
+                                keepdims=True) + 1e-12)
+        ke = kern / norm * g[None, :, None]
+        ref = jax.lax.conv_general_dilated(
+            x, jnp.flip(ke, 0), (1,), ((k - 1 - pad, k - 1 - pad + op),),
+            lhs_dilation=(s,), dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + vs["params"]["bias"]
+        assert ref.shape == out.shape
+        rel = float(jnp.abs(ref - out).max() / (jnp.abs(ref).max() + 1e-9))
+        assert rel < 1e-5, (k, s, rel)
+
+
+def test_folded_conv_exactness():
+    import jax
+
+    from rvc_tpu.ops.folded_conv import folded_conv1d
+
+    rng = np.random.default_rng(0)
+    for (t, c, k, d, fold) in [(4096, 32, 11, 5, 4), (4096, 32, 3, 1, 8),
+                               (8192, 64, 7, 3, 2)]:
+        x = jnp.asarray(rng.normal(size=(1, t, c)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, c, c)) * 0.1, jnp.float32)
+        pad = (k * d - d) // 2
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1,), ((pad, pad),), rhs_dilation=(d,),
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        out = folded_conv1d(x, w, d, fold)
+        rel = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+        assert rel < 1e-5, rel
+
+
+def test_banded_attention_matches_loops():
+    """The banded-correction rel-pos attention == explicit per-pair loops."""
+    import jax
+
+    from rvc_tpu.models.attentions import MultiHeadAttention
+
+    rng = np.random.default_rng(0)
+    L, w = 40, 10
+    mha = MultiHeadAttention(32, 32, 2, window_size=w)
+    x = jnp.asarray(rng.normal(size=(1, L, 32)), jnp.float32)
+    vs = mha.init(jax.random.PRNGKey(0), x, x)
+    out = np.asarray(mha.apply(vs, x, x))
+    p = vs["params"]
+
+    def c1(px, name):
+        return px @ np.asarray(p[name]["kernel"])[0] + np.asarray(p[name]["bias"])
+
+    q = c1(np.asarray(x), "conv_q").reshape(1, L, 2, 16).transpose(0, 2, 1, 3)
+    k = c1(np.asarray(x), "conv_k").reshape(1, L, 2, 16).transpose(0, 2, 1, 3)
+    v = c1(np.asarray(x), "conv_v").reshape(1, L, 2, 16).transpose(0, 2, 1, 3)
+    sc = 16 ** -0.5
+    scores = np.einsum("bhtd,bhsd->bhts", q * sc, k)
+    ek = np.asarray(p["emb_rel_k"])[0]
+    ev = np.asarray(p["emb_rel_v"])[0]
+    for t in range(L):
+        for s in range(L):
+            if -w <= s - t <= w:
+                scores[:, :, t, s] += (q[:, :, t] * sc) @ ek[s - t + w]
+    pa = np.exp(scores - scores.max(-1, keepdims=True))
+    pa /= pa.sum(-1, keepdims=True)
+    ref = np.einsum("bhts,bhsd->bhtd", pa, v)
+    for t in range(L):
+        for s in range(L):
+            if -w <= s - t <= w:
+                ref[:, :, t] += pa[:, :, t, s, None] * ev[s - t + w]
+    ref = c1(ref.transpose(0, 2, 1, 3).reshape(1, L, 32), "conv_o")
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel
