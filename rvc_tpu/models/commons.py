@@ -384,10 +384,9 @@ class ResBlock(nn.Module):
         use_pallas = (
             jax.default_backend() == "tpu"
             and os.environ.get("RVC_TPU_DISABLE_PALLAS_RESBLOCK", "") != "1"
-            # threshold sits above the training segment length (17,280
-            # samples): the kernel defines no VJP, so it must stay out of
-            # differentiated graphs; training decoders never reach this T
-            and x.shape[1] >= 32768
+            # AD-safe: fused_resblock carries a custom VJP (direct-conv
+            # recompute backward), so training graphs may route through it
+            and x.shape[1] >= 16384
             and self.channels <= 256
             and x.shape[-1] == self.channels
             and self.kernel_size % 2 == 1

@@ -51,6 +51,29 @@ def _plan(kernel_size: int, dilations: Sequence[int], fold: int):
     return plan, halo
 
 
+def _direct_chain(x, kernels1, biases1, kernels2, biases2, dilations,
+                  slope):
+    """Reference jnp implementation of the chain — used as the custom-vjp
+    backward (recompute + autodiff through XLA convs), so the Pallas forward
+    is usable inside differentiated graphs (training)."""
+    k = kernels1[0].shape[0]
+    y = x
+    for d, w1, b1, w2, b2 in zip(dilations, kernels1, biases1, kernels2,
+                                 biases2):
+        pad1 = (k * d - d) // 2
+        a = jnp.where(y >= 0, y, y * slope)
+        m = jax.lax.conv_general_dilated(
+            a, w1.astype(a.dtype), (1,), ((pad1, pad1),), rhs_dilation=(d,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + b1.astype(a.dtype)
+        a2 = jnp.where(m >= 0, m, m * slope)
+        y = y + jax.lax.conv_general_dilated(
+            a2, w2.astype(a.dtype), (1,), (((k - 1) // 2, (k - 1) // 2),),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + b2.astype(a.dtype)
+    return y
+
+
 def fused_resblock(
     x: jax.Array,                     # [B, T, C]
     kernels1: Sequence[jax.Array],    # per dilation [K, C, C] (norm folded)
@@ -61,6 +84,39 @@ def fused_resblock(
     slope: float = 0.1,
     tile: int = 1024,                 # folded rows per grid step (VMEM cap)
     interpret: bool = False,          # CPU interpreter (tests)
+) -> jax.Array:
+    """AD-safe wrapper: Pallas forward, direct-conv recompute backward."""
+    dilations = tuple(dilations)
+
+    @jax.custom_vjp
+    def run(x, k1, b1, k2, b2):
+        return _fused_resblock_impl(
+            x, k1, b1, k2, b2, dilations, slope, tile, interpret
+        )
+
+    def fwd(x, k1, b1, k2, b2):
+        return run(x, k1, b1, k2, b2), (x, k1, b1, k2, b2)
+
+    def bwd(res, g):
+        x, k1, b1, k2, b2 = res
+        _, vjp = jax.vjp(
+            lambda x_, k1_, b1_, k2_, b2_: _direct_chain(
+                x_, k1_, b1_, k2_, b2_, dilations, slope
+            ),
+            x, k1, b1, k2, b2,
+        )
+        return vjp(g)
+
+    run.defvjp(fwd, bwd)
+    return run(x, tuple(kernels1), tuple(biases1), tuple(kernels2),
+               tuple(biases2))
+
+
+def _fused_resblock_impl(
+    x, kernels1, biases1, kernels2, biases2, dilations,
+    slope: float = 0.1,
+    tile: int = 1024,
+    interpret: bool = False,
 ) -> jax.Array:
     b, t, c = x.shape
     k = kernels1[0].shape[0]
@@ -80,7 +136,7 @@ def fused_resblock(
         y = x
         for d, w1, b1, w2, b2 in zip(dilations, kernels1, biases1,
                                      kernels2, biases2):
-            y = fused_resblock(
+            y = _fused_resblock_impl(
                 y, [w1], [b1], [w2], [b2], (d,), slope=slope, tile=tile,
                 interpret=interpret,
             )

@@ -68,3 +68,32 @@ def test_fused_resblock_batch():
     out = fused_resblock(x, k1, b1, k2, b2, dil, tile=1024, interpret=True)
     rel = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
     assert rel < 5e-6, rel
+
+
+def test_fused_resblock_grad(tmp_path):
+    """custom_vjp: gradients flow (direct-conv recompute backward)."""
+    rng = np.random.default_rng(2)
+    T, C, K = 32768, 32, 3
+    dil = (1, 3)
+    x = jnp.asarray(rng.normal(size=(1, T, C)) * 0.1, jnp.float32)
+    k1 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b1 = [jnp.zeros((C,), jnp.float32) for _ in dil]
+    k2 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b2 = [jnp.zeros((C,), jnp.float32) for _ in dil]
+
+    def loss_pallas(x, k1):
+        return jnp.sum(fused_resblock(x, k1, b1, k2, b2, dil, tile=1024,
+                                      interpret=True) ** 2)
+
+    def loss_direct(x, k1):
+        from rvc_tpu.ops.resblock_pallas import _direct_chain
+
+        return jnp.sum(_direct_chain(x, k1, b1, k2, b2, dil, 0.1) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(x, k1)
+    gd = jax.grad(loss_direct, argnums=(0, 1))(x, k1)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gd)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4, rel
