@@ -113,3 +113,45 @@ def test_apply_post_process_chain_runs():
         compressor=True, compressor_ratio=2.0, delay=True,
     )
     assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_log_sigma_converter():
+    """EXTRAS/log_sigma_converter.py semantics: s = -0.5 ln(2W)."""
+    from rvc_tpu.utils.extras import log_sigma_for_weight, weight_for_log_sigma
+
+    import math
+
+    assert log_sigma_for_weight(0.5) == pytest.approx(0.0)
+    for w in (0.1, 1.0, 45.0):
+        s = log_sigma_for_weight(w)
+        assert weight_for_log_sigma(s) == pytest.approx(w)
+        # uncertainty weighting 1/(2 e^{2s}) reproduces W
+        assert 1.0 / (2.0 * math.exp(2 * s)) == pytest.approx(w)
+    with pytest.raises(ValueError):
+        log_sigma_for_weight(0)
+
+
+def test_download_trigger_server(tmp_path):
+    """Stdlib stand-in for the reference flask server: GET /download/<url>
+    installs a local model, POST /shutdown stops it."""
+    import urllib.request
+
+    from rvc_tpu.utils.http_server import start_download_server
+
+    src = tmp_path / "m.pth.zip"
+    import zipfile
+
+    with zipfile.ZipFile(src, "w") as z:
+        z.writestr("voice/model.npz", b"x")
+    srv = start_download_server(port=18763)
+    try:
+        url = f"http://127.0.0.1:18763/download/{src}"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            assert r.status == 200
+            assert b"downloaded" in r.read()
+        req = urllib.request.Request(
+            "http://127.0.0.1:18763/shutdown", method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+    finally:
+        srv.shutdown()
