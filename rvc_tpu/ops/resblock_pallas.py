@@ -145,8 +145,10 @@ def _fused_resblock_impl(
     lf_pad = n_tiles * tile
 
     in_dtype = x.dtype
-    # the kernel is MXU-utilization-bound, not bandwidth-bound; f32 buffers
-    # sidestep a Mosaic bf16 lowering crash at no measurable cost
+    # f32 buffers: a full-kernel bf16 variant crashes the Mosaic compiler on
+    # this toolchain (isolated bf16 roll+dot probes pass; the crash appears
+    # only with the DMA+halo structure). The kernel is utilization-bound, so
+    # the cost of f32 internals is modest; revisit on newer jaxlib.
     dtype = jnp.float32
     x = x.astype(dtype)
     # fold weights/biases (trace-level; static structure, traced values)
