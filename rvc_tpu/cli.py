@@ -187,6 +187,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_wgan_gp_loss", type=_bool, default=False)
     p.add_argument("--bf16_run", type=_bool, default=True)
     p.add_argument("--checkpointing", type=_bool, default=False)
+    p.add_argument("--use_orbax", type=_bool, default=False,
+                   help="multi-host sharded checkpoints via orbax")
     p.add_argument("--discriminators", type=str, default="mpd",
                    help="comma list: mpd,mpd_v1,mrd,msstft,mssbcqt,msd,"
                         "fregan_mpd,mmsd")
@@ -331,6 +333,7 @@ def main(argv=None) -> int:
         targs = TrainerArgs(
             exp_dir=exp_dir,
             discriminators=args.discriminators,
+            use_orbax=args.use_orbax,
             total_epochs=args.total_epoch,
             save_every_epoch=args.save_every_epoch,
             save_only_latest=args.save_only_latest,

@@ -329,12 +329,11 @@ class VoiceConverter:
         import subprocess
 
         if export_format.upper() == "FLAC":
+            from ..utils.audio_io import read_audio
             from ..utils.native import flac_write
 
             out = os.path.splitext(path)[0] + ".flac"
-            data, sr = __import__(
-                "rvc_tpu.utils.audio_io", fromlist=["read_audio"]
-            ).read_audio(path)
+            data, sr = read_audio(path)
             if flac_write(out, data, sr):
                 return out
         if shutil.which("ffmpeg") is None:

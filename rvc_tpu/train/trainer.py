@@ -89,6 +89,9 @@ class TrainerArgs:
     pretrain_g: str = ""
     pretrain_d: str = ""
     discriminators: str = "mpd"        # comma list from the registry
+    # multi-host jobs: orbax sharded checkpoints (each host writes its own
+    # shard) alongside the portable host-0 .npz artifacts
+    use_orbax: bool = False
     batch_size: Optional[int] = None
     optimizer: Optional[str] = None
     warmup_epochs: Optional[int] = None
@@ -197,6 +200,16 @@ class Trainer:
         )
         self.state = init_fn(jax.random.PRNGKey(self.args.seed), batch)
         jax.block_until_ready(self.state.params_g)
+        if self.args.use_orbax:
+            from ..utils.orbax_io import latest_step_dir, restore_state
+
+            ck = latest_step_dir(self.args.exp_dir)
+            if ck is not None:
+                self.state = restore_state(ck, self.state)
+                epoch = int(os.path.basename(ck).split("_")[-1])
+                self.start_epoch = epoch + 1
+                print(f"resumed from orbax checkpoint epoch {epoch}")
+                return
         g_path = _latest_checkpoint(self.args.exp_dir, "G")
         d_path = _latest_checkpoint(self.args.exp_dir, "D")
         if g_path and d_path:
@@ -244,6 +257,14 @@ class Trainer:
                 print(f"loaded pretrained {attr} from {path}")
 
     def save(self, epoch: int) -> None:
+        if self.args.use_orbax:
+            from ..utils.orbax_io import save_state
+
+            save_state(
+                os.path.join(self.args.exp_dir, f"orbax_{epoch}"), self.state
+            )
+            if jax.process_index() != 0:
+                return  # only host 0 writes the portable .npz artifacts
         suffix = 2333333 if self.args.save_only_latest else epoch
         meta = {"epoch": epoch, "sample_rate": self.cfg.data.sample_rate,
                 "vocoder": self.cfg.model.vocoder}
