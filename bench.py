@@ -128,7 +128,46 @@ def bench_full_pipeline() -> dict:
         out = pipe.pipeline(audio, **kwargs)
     elapsed = (time.perf_counter() - t0) / n_runs
     _log(f"pipeline steady {elapsed:.2f}s per 10s conversion")
-    return {"full_xrt": seconds / elapsed, "out_len": int(len(out))}
+    record = {"full_xrt": seconds / elapsed, "out_len": int(len(out))}
+
+    # Serving throughput: B whole files through ONE fused program. The
+    # latency number above pays a full host<->device round trip per file
+    # (~130 ms through this remote-attached tunnel; ~1 ms co-located) —
+    # batch packing amortizes it B ways and is how bulk conversion runs in
+    # production. Same compute path, real per-chip throughput.
+    try:
+        import jax
+
+        B = 8
+        rng_np = np.random.default_rng(7)
+        files = [
+            (0.4 * np.sin(2 * np.pi * (180 + 15 * i) * tt)
+             + 0.05 * rng_np.normal(size=t16)).astype(np.float32)
+            for i in range(B)
+        ]
+        files = [pipe._highpass(f) for f in files]
+        files = [np.pad(f, (pipe.t_pad, pipe.t_pad), mode="reflect")
+                 for f in files]
+        vc_kwargs = dict(
+            sid=0, index_vectors=index_vectors, index_rate=0.75,
+            protect=0.33, pitch_shift=2, filter_radius=3,
+        )
+        outs = pipe.voice_conversion_fused_many(
+            files, rng=jax.random.PRNGKey(3), **vc_kwargs
+        )  # compile warmup
+        assert all(np.isfinite(o).all() for o in outs)
+        n_runs = 3
+        t0 = time.perf_counter()
+        for i in range(n_runs):
+            outs = pipe.voice_conversion_fused_many(
+                files, rng=jax.random.PRNGKey(4 + i), **vc_kwargs
+            )
+        dt = (time.perf_counter() - t0) / n_runs
+        record["throughput_xrt"] = B * seconds / dt
+        _log(f"batched throughput {dt:.2f}s per {B}x10s batch")
+    except Exception as e:  # throughput is auxiliary; never sink the bench
+        record["throughput_error"] = f"{type(e).__name__}: {e}"[:200]
+    return record
 
 
 def bench_graph_only() -> float:
@@ -252,25 +291,43 @@ def main() -> None:
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        # repo-local persistent cache: survives across driver rounds on the
+        # same host, so warm-up compiles are a one-time cost
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_bench_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
+    # Stay under the driver's wall-clock: sections are ordered by importance
+    # and later ones are skipped (not failed) when the budget runs out.
+    budget_s = float(os.environ.get("RVC_BENCH_BUDGET_S", "480"))
+    start = time.perf_counter()
+
+    def left() -> float:
+        return budget_s - (time.perf_counter() - start)
+
     record = {}
     t0 = time.perf_counter()
     full = bench_full_pipeline()
-    _log(f"full pipeline bench done {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    record["graph_xrt"] = round(bench_graph_only(), 2)
-    _log(f"graph bench done {time.perf_counter()-t0:.1f}s")
-    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1":
+    record.update({k: (round(v, 2) if isinstance(v, float) else v)
+                   for k, v in full.items() if k != "full_xrt"})
+    _log(f"full pipeline bench done {time.perf_counter()-t0:.1f}s "
+         f"({left():.0f}s budget left)")
+    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1" and left() > 120:
         try:
             t0 = time.perf_counter()
             record.update({k: round(v, 3) for k, v in bench_train().items()})
             _log(f"train bench done {time.perf_counter()-t0:.1f}s")
         except Exception as e:  # train bench must not sink the whole run
             record["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        record.setdefault("train_skipped", "budget")
+    if left() > 90:
+        t0 = time.perf_counter()
+        record["graph_xrt"] = round(bench_graph_only(), 2)
+        _log(f"graph bench done {time.perf_counter()-t0:.1f}s")
 
     xrt = full["full_xrt"]
     print(json.dumps({

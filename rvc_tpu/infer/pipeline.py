@@ -360,6 +360,53 @@ class Pipeline:
         out = self._to_host(audio_out)[0]
         return out[: p_len * self.upp]
 
+    def voice_conversion_fused_many(
+        self,
+        audio_segs: List[np.ndarray],
+        sid: int,
+        index_vectors: Optional[jax.Array],
+        index_rate: float,
+        protect: float,
+        rng: jax.Array,
+        pitch_shift: int = 0,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        filter_radius: int = 3,
+    ) -> List[np.ndarray]:
+        """Serving-throughput path: convert B whole files in ONE fused
+        device program (one upload, one compute, one download). The fused
+        graph is batch-first throughout, so multi-file packing costs no
+        extra code on the device side; padding to the common bucket is the
+        only waste. This is how a TPU server should run bulk conversion —
+        per-call host<->device latency is amortized B ways and the MXU sees
+        B-fold larger matmuls."""
+        t_reals = [s.shape[0] for s in audio_segs]
+        t_pad = self._bucket_len(max(t_reals))
+        batch = np.zeros((len(audio_segs), t_pad), np.float32)
+        for i, s in enumerate(audio_segs):
+            batch[i, : s.shape[0]] = s
+        p_lens = np.asarray([t // WINDOW for t in t_reals], np.int32)
+        audio_out = self._convert_fused(
+            self.synth_params,
+            self.embedder_params,
+            self._rmvpe.params,
+            self._rmvpe.batch_stats,
+            jnp.asarray(batch),
+            jnp.asarray(p_lens),
+            jnp.full((len(audio_segs),), sid, jnp.int32),
+            index_vectors,
+            jnp.asarray(index_rate, jnp.float32),
+            jnp.asarray(protect, jnp.float32),
+            jnp.asarray(pitch_shift, jnp.float32),
+            jnp.asarray(f0_autotune_strength, jnp.float32),
+            rng,
+            use_autotune=bool(f0_autotune),
+            filter_radius=int(filter_radius),
+            f0_frames=t_pad // WINDOW + 1,
+        )
+        out = self._to_host(audio_out)
+        return [out[i, : int(p) * self.upp] for i, p in enumerate(p_lens)]
+
     # -- host-side helpers ---------------------------------------------------
 
     @staticmethod
