@@ -492,6 +492,7 @@ class Trainer:
             "step": int(self.state.step) if self.state is not None else 0,
             "time": time.time(),
             "process_index": jax.process_index(),
+            "pid": os.getpid(),
         }
         try:
             with open(os.path.join(self.args.exp_dir, "heartbeat.json"), "w") as f:
