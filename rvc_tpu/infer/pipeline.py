@@ -407,6 +407,66 @@ class Pipeline:
         out = self._to_host(audio_out)
         return [out[i, : int(p) * self.upp] for i, p in enumerate(p_lens)]
 
+    def voice_conversion_fused_stream(
+        self,
+        audio_segs: List[np.ndarray],
+        sid: int,
+        index_vectors: Optional[jax.Array],
+        index_rate: float,
+        protect: float,
+        rng: jax.Array,
+        pitch_shift: int = 0,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        filter_radius: int = 3,
+        depth: int = 2,
+    ) -> List[np.ndarray]:
+        """Sustained-stream conversion: keep up to `depth` fused programs in
+        flight and fetch results in order. JAX dispatch is asynchronous, so
+        the host uploads request i+1 and downloads result i-1 while the
+        device computes request i — per-item wall time approaches
+        max(compute, transfer) instead of their sum. This is the shape of a
+        low-latency streaming server; results are bit-identical to
+        voice_conversion_fused per segment."""
+        pending: List[Tuple[jax.Array, int]] = []
+        outs: List[np.ndarray] = []
+
+        def _drain_one():
+            audio_out, p_len = pending.pop(0)
+            outs.append(self._to_host(audio_out)[0][: p_len * self.upp])
+
+        for seg in audio_segs:
+            t_real = seg.shape[0]
+            p_len = t_real // WINDOW
+            t_pad = self._bucket_len(t_real)
+            audio_in = np.zeros(t_pad, np.float32)
+            audio_in[:t_real] = seg
+            rng, sub = jax.random.split(rng)
+            audio_out = self._convert_fused(
+                self.synth_params,
+                self.embedder_params,
+                self._rmvpe.params,
+                self._rmvpe.batch_stats,
+                jnp.asarray(audio_in[None]),
+                jnp.asarray([p_len], jnp.int32),
+                jnp.asarray([sid], jnp.int32),
+                index_vectors,
+                jnp.asarray(index_rate, jnp.float32),
+                jnp.asarray(protect, jnp.float32),
+                jnp.asarray(pitch_shift, jnp.float32),
+                jnp.asarray(f0_autotune_strength, jnp.float32),
+                sub,
+                use_autotune=bool(f0_autotune),
+                filter_radius=int(filter_radius),
+                f0_frames=t_pad // WINDOW + 1,
+            )
+            pending.append((audio_out, p_len))
+            if len(pending) > depth:
+                _drain_one()
+        while pending:
+            _drain_one()
+        return outs
+
     # -- host-side helpers ---------------------------------------------------
 
     @staticmethod

@@ -63,15 +63,111 @@ def run_tts(text: str, voice: str, rate: int, output_path: str) -> str:
         return output_path
 
 
-# A curated subset of edge-tts neural voices (reference ships the full list
-# as assets/tts_voices.json, used by the TTS tab's voice picker).
+# Static edge-tts neural-voice catalog for the TTS tab's voice picker
+# (reference ships the equivalent as assets/tts_voices.json and feeds it to
+# the dropdown in tabs/tts/tts.py). One female + one male voice per locale
+# where the service provides both; used offline, refreshed live via
+# list_voices() when edge-tts has network access.
 COMMON_VOICES = [
-    "en-US-AriaNeural", "en-US-GuyNeural", "en-US-JennyNeural",
-    "en-GB-SoniaNeural", "en-GB-RyanNeural", "en-AU-NatashaNeural",
-    "es-ES-ElviraNeural", "es-MX-DaliaNeural", "fr-FR-DeniseNeural",
-    "de-DE-KatjaNeural", "it-IT-ElsaNeural", "pt-BR-FranciscaNeural",
-    "ja-JP-NanamiNeural", "ko-KR-SunHiNeural", "zh-CN-XiaoxiaoNeural",
-    "ru-RU-SvetlanaNeural", "hi-IN-SwaraNeural", "ar-SA-ZariyahNeural",
+    "af-ZA-AdriNeural", "af-ZA-WillemNeural",
+    "am-ET-AmehaNeural", "am-ET-MekdesNeural",
+    "ar-EG-SalmaNeural", "ar-EG-ShakirNeural",
+    "ar-SA-HamedNeural", "ar-SA-ZariyahNeural",
+    "az-AZ-BabekNeural", "az-AZ-BanuNeural",
+    "bg-BG-BorislavNeural", "bg-BG-KalinaNeural",
+    "bn-BD-NabanitaNeural", "bn-BD-PradeepNeural",
+    "bn-IN-BashkarNeural", "bn-IN-TanishaaNeural",
+    "bs-BA-GoranNeural", "bs-BA-VesnaNeural",
+    "ca-ES-EnricNeural", "ca-ES-JoanaNeural",
+    "cs-CZ-AntoninNeural", "cs-CZ-VlastaNeural",
+    "cy-GB-AledNeural", "cy-GB-NiaNeural",
+    "da-DK-ChristelNeural", "da-DK-JeppeNeural",
+    "de-AT-IngridNeural", "de-AT-JonasNeural",
+    "de-CH-JanNeural", "de-CH-LeniNeural",
+    "de-DE-AmalaNeural", "de-DE-ConradNeural", "de-DE-KatjaNeural",
+    "el-GR-AthinaNeural", "el-GR-NestorasNeural",
+    "en-AU-NatashaNeural", "en-AU-WilliamNeural",
+    "en-CA-ClaraNeural", "en-CA-LiamNeural",
+    "en-GB-LibbyNeural", "en-GB-RyanNeural", "en-GB-SoniaNeural",
+    "en-IE-ConnorNeural", "en-IE-EmilyNeural",
+    "en-IN-NeerjaNeural", "en-IN-PrabhatNeural",
+    "en-NZ-MitchellNeural", "en-NZ-MollyNeural",
+    "en-US-AnaNeural", "en-US-AriaNeural", "en-US-ChristopherNeural",
+    "en-US-EricNeural", "en-US-GuyNeural", "en-US-JennyNeural",
+    "en-US-MichelleNeural", "en-US-RogerNeural", "en-US-SteffanNeural",
+    "en-ZA-LeahNeural", "en-ZA-LukeNeural",
+    "es-AR-ElenaNeural", "es-AR-TomasNeural",
+    "es-CO-GonzaloNeural", "es-CO-SalomeNeural",
+    "es-ES-AlvaroNeural", "es-ES-ElviraNeural",
+    "es-MX-DaliaNeural", "es-MX-JorgeNeural",
+    "es-US-AlonsoNeural", "es-US-PalomaNeural",
+    "et-EE-AnuNeural", "et-EE-KertNeural",
+    "eu-ES-AinhoaNeural", "eu-ES-AnderNeural",
+    "fa-IR-DilaraNeural", "fa-IR-FaridNeural",
+    "fi-FI-HarriNeural", "fi-FI-NooraNeural",
+    "fil-PH-AngeloNeural", "fil-PH-BlessicaNeural",
+    "fr-BE-CharlineNeural", "fr-BE-GerardNeural",
+    "fr-CA-AntoineNeural", "fr-CA-SylvieNeural",
+    "fr-CH-ArianeNeural", "fr-CH-FabriceNeural",
+    "fr-FR-DeniseNeural", "fr-FR-HenriNeural",
+    "ga-IE-ColmNeural", "ga-IE-OrlaNeural",
+    "gl-ES-RoiNeural", "gl-ES-SabelaNeural",
+    "gu-IN-DhwaniNeural", "gu-IN-NiranjanNeural",
+    "he-IL-AvriNeural", "he-IL-HilaNeural",
+    "hi-IN-MadhurNeural", "hi-IN-SwaraNeural",
+    "hr-HR-GabrijelaNeural", "hr-HR-SreckoNeural",
+    "hu-HU-NoemiNeural", "hu-HU-TamasNeural",
+    "id-ID-ArdiNeural", "id-ID-GadisNeural",
+    "is-IS-GudrunNeural", "is-IS-GunnarNeural",
+    "it-IT-DiegoNeural", "it-IT-ElsaNeural", "it-IT-IsabellaNeural",
+    "ja-JP-KeitaNeural", "ja-JP-NanamiNeural",
+    "jv-ID-DimasNeural", "jv-ID-SitiNeural",
+    "ka-GE-EkaNeural", "ka-GE-GiorgiNeural",
+    "kk-KZ-AigulNeural", "kk-KZ-DauletNeural",
+    "km-KH-PisethNeural", "km-KH-SreymomNeural",
+    "kn-IN-GaganNeural", "kn-IN-SapnaNeural",
+    "ko-KR-InJoonNeural", "ko-KR-SunHiNeural",
+    "lo-LA-ChanthavongNeural", "lo-LA-KeomanyNeural",
+    "lt-LT-LeonasNeural", "lt-LT-OnaNeural",
+    "lv-LV-EveritaNeural", "lv-LV-NilsNeural",
+    "mk-MK-AleksandarNeural", "mk-MK-MarijaNeural",
+    "ml-IN-MidhunNeural", "ml-IN-SobhanaNeural",
+    "mn-MN-BataaNeural", "mn-MN-YesuiNeural",
+    "mr-IN-AarohiNeural", "mr-IN-ManoharNeural",
+    "ms-MY-OsmanNeural", "ms-MY-YasminNeural",
+    "mt-MT-GraceNeural", "mt-MT-JosephNeural",
+    "my-MM-NilarNeural", "my-MM-ThihaNeural",
+    "nb-NO-FinnNeural", "nb-NO-PernilleNeural",
+    "ne-NP-HemkalaNeural", "ne-NP-SagarNeural",
+    "nl-BE-ArnaudNeural", "nl-BE-DenaNeural",
+    "nl-NL-ColetteNeural", "nl-NL-MaartenNeural",
+    "pl-PL-MarekNeural", "pl-PL-ZofiaNeural",
+    "ps-AF-GulNawazNeural", "ps-AF-LatifaNeural",
+    "pt-BR-AntonioNeural", "pt-BR-FranciscaNeural",
+    "pt-PT-DuarteNeural", "pt-PT-RaquelNeural",
+    "ro-RO-AlinaNeural", "ro-RO-EmilNeural",
+    "ru-RU-DmitryNeural", "ru-RU-SvetlanaNeural",
+    "si-LK-SameeraNeural", "si-LK-ThiliniNeural",
+    "sk-SK-LukasNeural", "sk-SK-ViktoriaNeural",
+    "sl-SI-PetraNeural", "sl-SI-RokNeural",
+    "so-SO-MuuseNeural", "so-SO-UbaxNeural",
+    "sq-AL-AnilaNeural", "sq-AL-IlirNeural",
+    "sr-RS-NicholasNeural", "sr-RS-SophieNeural",
+    "su-ID-JajangNeural", "su-ID-TutiNeural",
+    "sv-SE-MattiasNeural", "sv-SE-SofieNeural",
+    "sw-KE-RafikiNeural", "sw-KE-ZuriNeural",
+    "ta-IN-PallaviNeural", "ta-IN-ValluvarNeural",
+    "te-IN-MohanNeural", "te-IN-ShrutiNeural",
+    "th-TH-NiwatNeural", "th-TH-PremwadeeNeural",
+    "tr-TR-AhmetNeural", "tr-TR-EmelNeural",
+    "uk-UA-OstapNeural", "uk-UA-PolinaNeural",
+    "ur-PK-AsadNeural", "ur-PK-UzmaNeural",
+    "uz-UZ-MadinaNeural", "uz-UZ-SardorNeural",
+    "vi-VN-HoaiMyNeural", "vi-VN-NamMinhNeural",
+    "zh-CN-XiaoxiaoNeural", "zh-CN-XiaoyiNeural", "zh-CN-YunjianNeural",
+    "zh-CN-YunxiNeural", "zh-HK-HiuGaaiNeural", "zh-HK-WanLungNeural",
+    "zh-TW-HsiaoChenNeural", "zh-TW-YunJheNeural",
+    "zu-ZA-ThandoNeural", "zu-ZA-ThembaNeural",
 ]
 
 
