@@ -145,12 +145,14 @@ def _fused_resblock_impl(
     lf_pad = n_tiles * tile
 
     in_dtype = x.dtype
-    # f32 buffers: a full-kernel bf16 variant crashes the Mosaic compiler on
-    # this toolchain (isolated bf16 roll+dot probes pass; the crash appears
-    # only with the DMA+halo structure). The kernel is utilization-bound, so
-    # the cost of f32 internals is modest; revisit on newer jaxlib.
+    # I/O stays in the caller's dtype (bf16 under the inference policy):
+    # casting the whole signal to f32 before the kernel materialized a
+    # full-size relayout fusion per resblock call (measured 6 ms at
+    # T=815k C=32 on v5e — as long as the kernel itself) and doubled DMA
+    # bytes. The per-tile upcast to f32 happens in VMEM instead. Compute
+    # and accumulation remain f32: a fully-bf16 kernel (bf16 roll+dot)
+    # crashes the Mosaic compiler on this toolchain.
     dtype = jnp.float32
-    x = x.astype(dtype)
     # fold weights/biases (trace-level; static structure, traced values)
     wlist, blist = [], []
     for d, w1, b1, w2, b2 in zip(dilations, kernels1, biases1, kernels2,
@@ -187,7 +189,7 @@ def _fused_resblock_impl(
         g = (jax.lax.broadcasted_iota(jnp.int32, (buf_rows, 1), 0)
              + ti * tile - halo)
         inb = ((g >= 0) & (g < lf)).astype(dtype)
-        y = xbuf[:]
+        y = xbuf[:].astype(dtype)  # per-tile upcast in VMEM (DMA stays bf16)
 
         def conv(a, ci):
             acc = jnp.zeros((buf_rows, fc), jnp.float32)
@@ -209,7 +211,7 @@ def _fused_resblock_impl(
             a2 = jnp.where(m >= 0, m, m * slope)
             y = (y + conv(a2, ci)) * inb
             ci += 1
-        o_ref[0] = y[halo : halo + tile]
+        o_ref[0] = y[halo : halo + tile].astype(in_dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -223,11 +225,11 @@ def _fused_resblock_impl(
             (1, tile, fc), lambda bi, ti: (bi, ti, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, lf_pad, fc), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lf_pad, fc), in_dtype),
         scratch_shapes=[
-            pltpu.VMEM((buf_rows, fc), dtype),
+            pltpu.VMEM((buf_rows, fc), in_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xf, wcat, bcat)
-    return out[:, :lf].reshape(b, t, c).astype(in_dtype)
+    return out[:, :lf].reshape(b, t, c)

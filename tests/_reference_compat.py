@@ -15,6 +15,7 @@ Call install() before importing anything under `rvc.`.
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -42,6 +43,14 @@ def install() -> None:
         filters = types.ModuleType("librosa.filters")
         filters.mel = mel_fn
         librosa.filters = filters
+        # a real ModuleSpec: transformers' availability probe calls
+        # importlib.util.find_spec("librosa"), which raises ValueError on
+        # modules whose __spec__ is None (breaks test_hubert when this stub
+        # was installed first in the same process)
+        librosa.__spec__ = importlib.machinery.ModuleSpec("librosa", None)
+        filters.__spec__ = importlib.machinery.ModuleSpec(
+            "librosa.filters", None
+        )
         sys.modules["librosa"] = librosa
         sys.modules["librosa.filters"] = filters
 
@@ -61,8 +70,12 @@ def install() -> None:
 
         torchaudio = types.ModuleType("torchaudio")
         torchaudio.__rvc_tpu_stub__ = True
+        torchaudio.__spec__ = importlib.machinery.ModuleSpec(
+            "torchaudio", None)
         transforms = types.ModuleType("torchaudio.transforms")
         transforms.Resample = _IdentityResample
+        transforms.__spec__ = importlib.machinery.ModuleSpec(
+            "torchaudio.transforms", None)
         torchaudio.transforms = transforms
         sys.modules["torchaudio"] = torchaudio
         sys.modules["torchaudio.transforms"] = transforms

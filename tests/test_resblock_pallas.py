@@ -97,3 +97,24 @@ def test_fused_resblock_grad(tmp_path):
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gd)):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
         assert rel < 1e-4, rel
+
+
+def test_fused_resblock_bf16_io():
+    """bf16 I/O path: DMA in the caller's dtype, f32 math in VMEM.
+    Tolerance covers bf16 storage between the two chain stages."""
+    rng = np.random.default_rng(3)
+    T, C, K = 16384, 32, 3
+    dil = (1, 3, 5)
+    xb = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.bfloat16)
+    k1 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b1 = [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32) for _ in dil]
+    k2 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+          for _ in dil]
+    b2 = [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32) for _ in dil]
+    ref = _direct(xb.astype(jnp.float32), k1, b1, k2, b2, dil, K)
+    out = fused_resblock(xb, k1, b1, k2, b2, dil, tile=1024, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    rel = float(jnp.abs(ref - out.astype(jnp.float32)).max()
+                / jnp.abs(ref).max())
+    assert rel < 2e-2, rel
