@@ -39,19 +39,30 @@ def _hann_window(win_length: int) -> np.ndarray:
 def frame_signal(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     """Slice [B, T] into overlapping frames [B, n_frames, frame_length].
 
-    Uses conv_general_dilated_patches, which XLA lowers to an efficient
-    strided window extraction rather than a gather.
+    Built from hop-aligned slices + reshapes: chunk j of every frame
+    (samples [j*hop, (j+1)*hop)) is a contiguous, hop-aligned view of y, so
+    the forward is pure data movement and — critically — the autodiff
+    backward is a handful of pad+add ops. The previous
+    conv_general_dilated_patches lowering produced a badly tiled
+    convolution whose transpose (the frame-gradient overlap-add in the
+    multiscale-mel loss) cost ~30 ms per 4096-window scale per train step
+    on v5e; this form costs well under a millisecond each way.
     """
     b, t = y.shape
     n_frames = 1 + (t - frame_length) // hop_length
-    # [B, C=1, T] -> patches [B, frame_length, n_frames]
-    patches = jax.lax.conv_general_dilated_patches(
-        y[:, None, :],
-        filter_shape=(frame_length,),
-        window_strides=(hop_length,),
-        padding="VALID",
-    )
-    return jnp.transpose(patches[:, :, :n_frames], (0, 2, 1))
+    n_chunks = -(-frame_length // hop_length)  # ceil: chunks per frame
+    t_needed = (n_frames + n_chunks - 1) * hop_length
+    if t_needed > t:
+        y = jnp.pad(y, ((0, 0), (0, t_needed - t)))
+    # chunk j: y[:, j*hop : (j+n_frames)*hop] viewed as [B, n_frames, hop]
+    chunks = [
+        y[:, j * hop_length : (j + n_frames) * hop_length].reshape(
+            b, n_frames, hop_length
+        )
+        for j in range(n_chunks)
+    ]
+    frames = jnp.concatenate(chunks, axis=-1)  # [B, n_frames, n_chunks*hop]
+    return frames[:, :, :frame_length]
 
 
 def stft_magnitude(
