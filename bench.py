@@ -122,12 +122,16 @@ def bench_full_pipeline() -> dict:
     _log(f"pipeline warmup {time.perf_counter()-t0:.1f}s")
     assert np.isfinite(out).all()
 
-    n_runs = 5
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
+    # median of singles: the remote tunnel's latency jitters run-to-run,
+    # and a mean lets one slow round trip skew the headline
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
         out = pipe.pipeline(audio, **kwargs)
-    elapsed = (time.perf_counter() - t0) / n_runs
-    _log(f"pipeline steady {elapsed:.2f}s per 10s conversion")
+        times.append(time.perf_counter() - t0)
+    elapsed = sorted(times)[len(times) // 2]
+    _log(f"pipeline steady {elapsed:.2f}s per 10s conversion "
+         f"(median of {len(times)}; spread {min(times):.2f}-{max(times):.2f})")
     record = {"full_xrt": seconds / elapsed, "out_len": int(len(out))}
 
     # Serving throughput: a sustained stream of files with dispatch-ahead
