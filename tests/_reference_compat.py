@@ -80,6 +80,14 @@ def install() -> None:
         sys.modules["torchaudio"] = torchaudio
         sys.modules["torchaudio.transforms"] = transforms
 
+    # rvc.infer.pipeline imports these at module scope; the parity tests
+    # exercise neither (CREPE f0 and real faiss indexes are out of scope)
+    for name in ("torchcrepe", "faiss"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+
     if "local_attention" not in sys.modules:
         local_attention = types.ModuleType("local_attention")
 
@@ -109,7 +117,9 @@ class zero_torch_noise:
             kw.pop("generator", None)
             if len(size) == 1 and isinstance(size[0], (tuple, list)):
                 size = tuple(size[0])
-            return torch.zeros(*size, **kw)
+            # pass as one shape tuple: handles scalar shapes like
+            # torch.rand([]) (transformers LayerDrop) where *() would fail
+            return torch.zeros(size, **kw)
 
         torch.rand = _zeros
         torch.randn = _zeros

@@ -314,3 +314,95 @@ def test_multiscale_mel_loss_parity():
         jnp.asarray(real), jnp.asarray(fake), 48000
     ))
     assert abs(ref - ours) / abs(ref) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# end-to-end voice_conversion (reference Pipeline glue code)
+# ---------------------------------------------------------------------------
+
+class _ExactIndex:
+    """faiss stand-in: exact k-NN returning squared L2 distances, the same
+    contract index.search has in the reference (pipeline.py:497-507)."""
+
+    def __init__(self, vectors: np.ndarray):
+        self.vectors = vectors
+
+    def search(self, npy: np.ndarray, k: int):
+        d2 = (
+            np.sum(npy ** 2, axis=1, keepdims=True)
+            - 2.0 * npy @ self.vectors.T
+            + np.sum(self.vectors ** 2, axis=1)[None, :]
+        )
+        ix = np.argsort(d2, axis=1)[:, :k]
+        score = np.take_along_axis(d2, ix, axis=1)
+        return score.astype(np.float32), ix
+
+
+def test_voice_conversion_end_to_end_parity():
+    """The full per-segment conversion path — HuBERT features, retrieval
+    blend, x2 interpolation, protect blend, length trimming, synthesizer —
+    against the reference's own Pipeline.voice_conversion
+    (rvc/infer/pipeline.py:412-494) with shared seeded weights."""
+    import transformers
+
+    from rvc.infer.pipeline import Pipeline as RefPipeline
+
+    from rvc_tpu.embedders import FlaxHubert, HubertConfig, convert_torch_hubert
+    from rvc_tpu.infer.pipeline import Pipeline, PipelineConfig
+
+    # shared hubert (2 transformer layers keep the CPU cost sane; the full
+    # 12-layer parity is tests/test_hubert.py)
+    torch.manual_seed(0)
+    t_hub = transformers.HubertModel(
+        transformers.HubertConfig(num_hidden_layers=2)
+    ).eval()
+    cfg_h = HubertConfig(num_layers=2)
+    hub_params = convert_torch_hubert(t_hub.state_dict(), cfg_h)
+
+    tm, fm, synth_params = _build_pair("HiFi-GAN", 8)
+
+    rng = np.random.default_rng(5)
+    audio0 = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    p_len = 16000 // 160
+    pitch_np = rng.integers(1, 255, size=p_len).astype(np.int64)
+    pitchf_np = (rng.random(p_len).astype(np.float32) * 300.0)
+    pitchf_np[60:] = 0.0  # unvoiced tail exercises the protect blend
+    big_npy = rng.normal(size=(512, 768)).astype(np.float32)
+    index_rate, protect, sid = 0.6, 0.3, 1
+
+    # reference side: bypass __init__ (it loads rmvpe.pt from disk)
+    ref = RefPipeline.__new__(RefPipeline)
+    ref.device = "cpu"
+    ref.window = 160
+    with torch.no_grad(), rc.zero_torch_noise():
+        o_ref = ref.voice_conversion(
+            t_hub, tm, torch.tensor([sid]), audio0,
+            torch.from_numpy(pitch_np)[None],
+            torch.from_numpy(pitchf_np)[None],
+            _ExactIndex(big_npy), big_npy, index_rate, "v2", protect,
+        )
+
+    pipe = Pipeline(
+        32000, fm, synth_params, FlaxHubert(cfg_h), hub_params,
+        PipelineConfig(x_pad=1), upsample_factor=320, precision="fp32",
+    )
+    o_our = pipe.voice_conversion(
+        audio0, pitch_np.astype(np.int32), pitchf_np, sid,
+        jnp.asarray(big_npy), index_rate, protect, jax.random.PRNGKey(0),
+    )
+
+    # length: the reference clamps p_len to the hubert frame count of the
+    # UNPADDED segment (pipeline.py:466), synthesizing 98 frames for 1 s;
+    # our graph pads to the bucket first, so features cover all 100 frames
+    # and nothing is cropped. Allow those two trailing hubert frames, and
+    # compare the first 90 frames — beyond that the decoder's receptive
+    # field sees the differing tail context (reference: zero padding; ours:
+    # real features from the padded audio). Measured: frames 0-90 agree at
+    # <=5e-3 (the compounded hubert tolerance); 90-100 diverge only from
+    # that boundary-context difference.
+    assert abs(len(o_ref) - len(o_our)) <= 2 * 320
+    n = 90 * 320
+    rel = np.abs(o_ref[:n] - np.asarray(o_our)[:n]).max() / (
+        np.abs(o_ref).max() + 1e-9
+    )
+    assert rel < 6e-3, rel
