@@ -409,3 +409,40 @@ def test_export_pth_reference_layout(tmp_path):
     params, meta = load_rvc_pth(out)
     assert "enc_p" in params and "dec" in params
     assert meta["sr"] == SR_MODEL
+
+
+@pytest.mark.slow
+def test_stream_matches_single_fused(tiny_pipe):
+    """voice_conversion_fused_stream and _many must be sample-identical to
+    per-file voice_conversion_fused (same program, different dispatch)."""
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
+
+    rmvpe = RMVPE(model=E2EModel(n_blocks=1, en_de_layers=2, inter_layers=1,
+                                 en_out_channels=2, gru_hidden=4))
+    tiny_pipe.set_rmvpe(rmvpe)
+    try:
+        tt = np.arange(2 * 16000) / 16000
+        files = [
+            (0.3 * np.sin(2 * np.pi * f * tt)).astype(np.float32)
+            for f in (180.0, 220.0, 260.0)
+        ]
+        kw = dict(sid=0, index_vectors=None, index_rate=0.0, protect=0.5,
+                  pitch_shift=0, filter_radius=3)
+        # per-segment rngs must line up: stream splits its rng per segment
+        rng = jax.random.PRNGKey(9)
+        singles = []
+        r = rng
+        for f in files:
+            r, sub = jax.random.split(r)
+            singles.append(
+                tiny_pipe.voice_conversion_fused(f, rng=sub, **kw))
+        streamed = tiny_pipe.voice_conversion_fused_stream(
+            files, rng=rng, **kw)
+        assert len(streamed) == len(singles)
+        for a, b in zip(singles, streamed):
+            np.testing.assert_array_equal(a, b)
+        batched = tiny_pipe.voice_conversion_fused_many(
+            files, rng=jax.random.PRNGKey(1), **kw)
+        assert [len(x) for x in batched] == [len(x) for x in singles]
+    finally:
+        tiny_pipe._rmvpe = None
