@@ -130,3 +130,28 @@ def test_spectral_gate_noisereduce_behavior():
         assert gap_cut < 0.6, gap_cut
         reductions.append(gap_cut)
     assert reductions[1] < reductions[0]  # strength scales the gate
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/logs/mute"),
+    reason="reference fixtures not mounted",
+)
+def test_mute_rows_match_reference_fixtures():
+    """Our synthesized silent filler rows must agree with the reference's
+    shipped logs/mute fixtures (preparing_files.py:50-63): 301 f0 frames
+    for the 3 s mute, float f0 all zero, coarse f0 all ones, and the
+    hubert feature row at 149x768 (the 320-sample frame-rate arithmetic)."""
+    ref_f0c = np.load("/root/reference/logs/mute/f0/mute.wav.npy")
+    ref_f0f = np.load("/root/reference/logs/mute/f0_voiced/mute.wav.npy")
+    ref_emb = np.load("/root/reference/logs/mute/extracted/mute.npy")
+
+    n_frames = 3 * 16000 // 160 + 1
+    f0 = np.zeros(n_frames, np.float64)
+    coarse = coarse_f0_train(f0)
+
+    assert f0.shape == ref_f0f.shape and (ref_f0f == 0).all()
+    assert coarse.shape == ref_f0c.shape
+    assert set(np.unique(coarse)) == set(np.unique(ref_f0c)) == {1}
+    # feature frame count from the hubert stride chain on 3 s of 16 kHz
+    hub_frames = (3 * 16000 - 400) // 320 + 1
+    assert ref_emb.shape == (hub_frames, 768)

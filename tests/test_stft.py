@@ -1,5 +1,7 @@
 """STFT/mel numerics vs. torch oracle (same math as the reference pipeline)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -112,3 +114,44 @@ def test_multiscale_windows():
     assert multiscale_mel_window(5, 48000) == 64
     assert multiscale_mel_window(80, 48000) == 1024
     assert multiscale_mel_window(480, 48000) == 4096
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/logs/mute"),
+    reason="reference fixtures not mounted",
+)
+def test_reference_mute_spec_artifact_parity():
+    """Real-artifact parity: the reference ships precomputed .spec.pt files
+    for its mute training rows (logs/mute/sliced_audios, produced by
+    mel_processing.spectrogram_torch at training time). Our spectrogram of
+    the same wav must reproduce them.
+
+    Silence is a degenerate but exact probe: every bin must equal
+    sqrt(eps) = 1e-3, and the frame count must match the reference's
+    centered-frame arithmetic bit for bit."""
+    torch = pytest.importorskip("torch")
+    from scipy.io import wavfile
+
+    from rvc_tpu.configs import get_config
+
+    cases = [  # (wav/spec paths, n_fft, hop, win)
+        ("mute/sliced_audios/mute48000", None, 48000),
+        ("mute_spin/sliced_audios/mute40000", None, 40000),
+        # 44.1k has no config preset; the artifact was made with hop 441
+        ("mute/sliced_audios/mute44100", (2048, 441, 2048), None),
+    ]
+    for stem, params, sr in cases:
+        ref = torch.load(
+            f"/root/reference/logs/{stem}.spec.pt", weights_only=True
+        ).numpy()  # [bins, frames]
+        _, wav = wavfile.read(f"/root/reference/logs/{stem}.wav")
+        audio = (wav.astype(np.float32) / 32768.0)[None]
+        if params is None:
+            cfg = get_config(sr)
+            params = (cfg.data.filter_length, cfg.data.hop_length,
+                      cfg.data.win_length)
+        ours = np.asarray(
+            spectrogram(jnp.asarray(audio), *params)
+        )[0]  # [frames, bins]
+        assert ours.shape == (ref.shape[1], ref.shape[0]), (stem, ours.shape, ref.shape)
+        np.testing.assert_allclose(ours.T, ref, rtol=0, atol=1e-7)
