@@ -273,6 +273,10 @@ class Pipeline:
             filter_radius: int = 3,
             f0_frames: int = 0,
         ):
+            # int16 uploads (bf16 serving path): dequantize on device. The
+            # 3e-5 quantization step is the PCM16 floor the audio came from.
+            if jnp.issubdtype(audio16k.dtype, jnp.integer):
+                audio16k = audio16k.astype(jnp.float32) / 32767.0
             # RMVPE salience -> f0 (predictors/rmvpe.py numerics)
             mel = rmvpe_mel(audio16k)[:, :f0_frames]
             pad = (-f0_frames) % 32
@@ -318,6 +322,16 @@ class Pipeline:
 
         self._convert_fused = _convert_fused
 
+    def _quantize_in(self, arr):
+        """int16 upload for the bf16 serving path: halves host->device bytes;
+        the 3e-5 step matches the PCM16 source floor (fp32 paths unchanged
+        for parity/golden exactness)."""
+        import numpy as _np
+
+        if self.precision == "bf16":
+            return _np.clip(arr * 32767.0, -32768, 32767).astype(_np.int16)
+        return arr
+
     def voice_conversion_fused(
         self,
         audio_seg: np.ndarray,
@@ -344,7 +358,7 @@ class Pipeline:
             self.embedder_params,
             self._rmvpe.params,
             self._rmvpe.batch_stats,
-            jnp.asarray(audio_in[None]),
+            jnp.asarray(self._quantize_in(audio_in)[None]),
             jnp.asarray([p_len], jnp.int32),
             jnp.asarray([sid], jnp.int32),
             index_vectors,
@@ -391,7 +405,7 @@ class Pipeline:
             self.embedder_params,
             self._rmvpe.params,
             self._rmvpe.batch_stats,
-            jnp.asarray(batch),
+            jnp.asarray(self._quantize_in(batch)),
             jnp.asarray(p_lens),
             jnp.full((len(audio_segs),), sid, jnp.int32),
             index_vectors,
@@ -447,7 +461,7 @@ class Pipeline:
                 self.embedder_params,
                 self._rmvpe.params,
                 self._rmvpe.batch_stats,
-                jnp.asarray(audio_in[None]),
+                jnp.asarray(self._quantize_in(audio_in)[None]),
                 jnp.asarray([p_len], jnp.int32),
                 jnp.asarray([sid], jnp.int32),
                 index_vectors,
