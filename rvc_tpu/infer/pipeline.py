@@ -434,6 +434,7 @@ class Pipeline:
         f0_autotune_strength: float = 1.0,
         filter_radius: int = 3,
         depth: int = 2,
+        prep=None,
     ) -> List[np.ndarray]:
         """Sustained-stream conversion: keep up to `depth` fused programs in
         flight and fetch results in order. JAX dispatch is asynchronous, so
@@ -441,7 +442,11 @@ class Pipeline:
         device computes request i — per-item wall time approaches
         max(compute, transfer) instead of their sum. This is the shape of a
         low-latency streaming server; results are bit-identical to
-        voice_conversion_fused per segment."""
+        voice_conversion_fused per segment.
+
+        prep: optional host-DSP callable applied to each raw segment inside
+        the dispatch loop, so preprocessing of item i+1 overlaps device
+        compute of item i (pass e.g. high-pass + reflect padding)."""
         pending: List[Tuple[jax.Array, int]] = []
         outs: List[np.ndarray] = []
 
@@ -450,6 +455,8 @@ class Pipeline:
             outs.append(self._to_host(audio_out)[0][: p_len * self.upp])
 
         for seg in audio_segs:
+            if prep is not None:
+                seg = prep(seg)
             t_real = seg.shape[0]
             p_len = t_real // WINDOW
             t_pad = self._bucket_len(t_real)
