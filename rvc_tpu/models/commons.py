@@ -377,9 +377,35 @@ class ResBlock(nn.Module):
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
 
+    def _weights(self, x):
+        """Materialize the chain's (folded weight-norm) conv parameters
+        without computing — shared by the fused kernel paths."""
+        k1, b1, k2, b2 = [], [], [], []
+        for i, d in enumerate(self.dilations):
+            w, bb = Conv1d(
+                self.channels, self.kernel_size, dilation=d,
+                use_weight_norm=True, kernel_init_std=0.01,
+                name=f"conv1_{i}",
+            )(x, return_weights=True)
+            k1.append(w)
+            b1.append(bb)
+            w, bb = Conv1d(
+                self.channels, self.kernel_size, dilation=1,
+                use_weight_norm=True, kernel_init_std=0.01,
+                name=f"conv2_{i}",
+            )(x, return_weights=True)
+            k2.append(w)
+            b2.append(bb)
+        return k1, b1, k2, b2
+
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, collect_only: bool = False):
         import os
+
+        if collect_only:
+            # stage-level MRF fusion (generators): return this chain's
+            # parameters; the caller runs ops.resblock_pallas.fused_mrf
+            return self._weights(x)
 
         use_pallas = (
             jax.default_backend() == "tpu"
@@ -392,22 +418,7 @@ class ResBlock(nn.Module):
             and self.kernel_size % 2 == 1
         )
         if use_pallas:
-            k1, b1, k2, b2 = [], [], [], []
-            for i, d in enumerate(self.dilations):
-                w, bb = Conv1d(
-                    self.channels, self.kernel_size, dilation=d,
-                    use_weight_norm=True, kernel_init_std=0.01,
-                    name=f"conv1_{i}",
-                )(x, return_weights=True)
-                k1.append(w)
-                b1.append(bb)
-                w, bb = Conv1d(
-                    self.channels, self.kernel_size, dilation=1,
-                    use_weight_norm=True, kernel_init_std=0.01,
-                    name=f"conv2_{i}",
-                )(x, return_weights=True)
-                k2.append(w)
-                b2.append(bb)
+            k1, b1, k2, b2 = self._weights(x)
             from ..ops.resblock_pallas import fused_resblock
 
             return fused_resblock(

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .nsf import _resblock_stage
 from ..commons import Conv1d, ConvTranspose1d, ResBlock, leaky_relu
 
 
@@ -44,13 +45,13 @@ class HiFiGANGenerator(nn.Module):
                 kernel_init_std=0.01,
                 name=f"ups_{i}",
             )(x)
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                out = ResBlock(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
-                xs = out if xs is None else xs + out
-            x = xs / num_kernels
+            x = _resblock_stage(
+                x, ch, self.resblock_kernel_sizes,
+                self.resblock_dilation_sizes,
+                lambda ch_, rk, rd, j: ResBlock(
+                    ch_, rk, tuple(rd), name=f"resblock_{i}_{j}"
+                ),
+            )
 
         x = leaky_relu(x, 0.01)
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)

@@ -19,8 +19,48 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..commons import Conv1d, ConvTranspose1d, ResBlock, leaky_relu
+from ..commons import LRELU_SLOPE, Conv1d, ConvTranspose1d, ResBlock, leaky_relu
 from .sine import SineGenerator
+
+
+def _resblock_stage(x, ch, kernel_sizes, dilation_sizes, make_block):
+    """One decoder stage tail: mean over the parallel ResBlock chains.
+
+    On TPU, when every chain's folded weights fit VMEM together (the last
+    48k stage: C=32), all chains run in ONE fused Pallas pass — the signal
+    is read from HBM once instead of once per chain
+    (ops/resblock_pallas.fused_mrf). Parameters are identical either way
+    (the blocks only materialize their convs in collect mode)."""
+    import os
+
+    num_kernels = len(kernel_sizes)
+    dil0 = tuple(dilation_sizes[0])
+    use_mrf = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("RVC_TPU_DISABLE_PALLAS_RESBLOCK", "") != "1"
+        and x.shape[1] >= 16384
+        and x.shape[-1] == ch
+        and all(tuple(rd) == dil0 for rd in dilation_sizes)
+        and all(rk % 2 == 1 for rk in kernel_sizes)
+    )
+    if use_mrf:
+        from ...ops.resblock_pallas import fused_mrf, mrf_weight_bytes
+
+        use_mrf = mrf_weight_bytes(
+            ch, x.shape[1], kernel_sizes, dil0
+        ) <= 6 * 2 ** 20
+    if use_mrf:
+        chains = [
+            make_block(ch, rk, rd, j)(x, collect_only=True)
+            for j, (rk, rd) in enumerate(zip(kernel_sizes, dilation_sizes))
+        ]
+        return fused_mrf(x, chains, tuple(kernel_sizes), dil0,
+                         slope=LRELU_SLOPE)
+    xs = None
+    for j, (rk, rd) in enumerate(zip(kernel_sizes, dilation_sizes)):
+        out = make_block(ch, rk, rd, j)(x)
+        xs = out if xs is None else xs + out
+    return xs / num_kernels
 
 
 class SourceModuleHnNSF(nn.Module):
@@ -117,13 +157,13 @@ class HiFiGANNSFGenerator(nn.Module):
             )(har_source)
             x = x + noise
 
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                out = ResBlock(channels[i], rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
-                xs = out if xs is None else xs + out
-            x = xs / num_kernels
+            x = _resblock_stage(
+                x, channels[i], self.resblock_kernel_sizes,
+                self.resblock_dilation_sizes,
+                lambda ch, rk, rd, j: ResBlock(
+                    ch, rk, tuple(rd), name=f"resblock_{i}_{j}"
+                ),
+            )
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)

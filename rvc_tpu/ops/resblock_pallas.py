@@ -233,3 +233,183 @@ def _fused_resblock_impl(
         interpret=interpret,
     )(xf, wcat, bcat)
     return out[:, :lf].reshape(b, t, c)
+
+
+# ---------------------------------------------------------------------------
+# MRF fusion: all parallel ResBlock chains of one decoder stage in ONE kernel
+# ---------------------------------------------------------------------------
+
+def _direct_mrf(x, chains, kernel_sizes, dilations, slope):
+    """jnp reference: mean over chains of the residual chain output
+    (the HiFi-GAN `xs = sum(resblock_j(x)) / num_kernels` stage tail)."""
+    acc = None
+    for (k1, b1, k2, b2) in chains:
+        y = _direct_chain(x, k1, b1, k2, b2, dilations, slope)
+        acc = y if acc is None else acc + y
+    return acc / len(chains)
+
+
+def fused_mrf(
+    x: jax.Array,                     # [B, T, C]
+    chains,                           # per chain: (k1s, b1s, k2s, b2s)
+    kernel_sizes: Sequence[int],      # per chain
+    dilations: Sequence[int],         # shared (HiFi-GAN uses (1, 3, 5))
+    slope: float = 0.1,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused pass over the whole multi-kernel stage tail: the input
+    signal is read from HBM once per tile (instead of once per chain), all
+    3x6 convs run as in-VMEM folded MXU matmuls, and the averaged sum is
+    written once. Only viable where every chain's folded weights fit VMEM
+    together (the last decoder stage: C=32, fold=4, ~4.6 MB) — callers
+    check mrf_weight_bytes() and fall back to per-chain fused_resblock.
+
+    AD-safe: direct-conv recompute backward like fused_resblock."""
+    kernel_sizes = tuple(kernel_sizes)
+    dilations = tuple(dilations)
+    chains = tuple(tuple(tuple(t) for t in ch) for ch in chains)
+
+    @jax.custom_vjp
+    def run(x, chains):
+        return _fused_mrf_impl(
+            x, chains, kernel_sizes, dilations, slope, tile, interpret
+        )
+
+    def fwd(x, chains):
+        return run(x, chains), (x, chains)
+
+    def bwd(res, g):
+        x, chains = res
+        _, vjp = jax.vjp(
+            lambda x_, c_: _direct_mrf(x_, c_, kernel_sizes, dilations, slope),
+            x, chains,
+        )
+        return vjp(g)
+
+    run.defvjp(fwd, bwd)
+    return run(x, chains)
+
+
+def mrf_weight_bytes(
+    channels: int, t: int, kernel_sizes: Sequence[int],
+    dilations: Sequence[int],
+) -> int:
+    """Folded-weight VMEM footprint of fused_mrf at this shape."""
+    fold = max(1, 128 // channels)
+    while fold > 1 and t % fold:
+        fold //= 2
+    fc = fold * channels
+    total = 0
+    for k in kernel_sizes:
+        plan, _ = _plan(k, dilations, fold)
+        total += sum(len(p) for p in plan) * fc * fc * 4
+    return total
+
+
+def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
+                    interpret):
+    b, t, c = x.shape
+    fold = max(1, 128 // c)
+    while fold > 1 and t % fold:
+        fold //= 2
+    fc = fold * c
+    lf = t // fold
+
+    plans, halos = [], []
+    for k in kernel_sizes:
+        p, h = _plan(k, dilations, fold)
+        plans.append(p)
+        halos.append(h)
+    halo = max(halos)
+    n_tiles = -(-lf // tile)
+    lf_pad = n_tiles * tile
+
+    in_dtype = x.dtype
+    dtype = jnp.float32
+
+    # fold all chains' weights into one [taps_total*fc, fc] bank
+    wlist, blist, offsets = [], [], []
+    off = 0
+    for (k1s, b1s, k2s, b2s), k, plan in zip(chains, kernel_sizes, plans):
+        per_chain = []
+        for (d, w1, b1, w2, b2) in zip(dilations, k1s, b1s, k2s, b2s):
+            wf1, _ = fold_weights_sparse(w1.astype(dtype), d, fold)
+            wf2, _ = fold_weights_sparse(w2.astype(dtype), 1, fold)
+            wlist += [wf1, wf2]
+            blist += [jnp.tile(b1, fold).astype(jnp.float32),
+                      jnp.tile(b2, fold).astype(jnp.float32)]
+        for pp in plan:
+            per_chain.append(off)
+            off += len(pp)
+        offsets.append(per_chain)
+    wcat = jnp.concatenate(wlist, axis=0).reshape(-1, fc)
+    bcat = jnp.stack(blist, axis=0)
+    n_convs_per_chain = 2 * len(dilations)
+
+    xf = x.reshape(b, lf, fc)
+    xf = jnp.pad(xf, ((0, 0), (halo, halo + (lf_pad - lf)), (0, 0)))
+    buf_rows = tile + 2 * halo
+
+    def kernel(xf_hbm, w_ref, b_ref, o_ref, xbuf, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            xf_hbm.at[bi, pl.ds(ti * tile, buf_rows), :], xbuf, sem
+        )
+        cp.start()
+        cp.wait()
+        g = (jax.lax.broadcasted_iota(jnp.int32, (buf_rows, 1), 0)
+             + ti * tile - halo)
+        inb = ((g >= 0) & (g < lf)).astype(dtype)
+        x0 = xbuf[:].astype(dtype)
+
+        def conv(a, chain_i, conv_i):
+            plan = plans[chain_i][conv_i]
+            base = offsets[chain_i][conv_i]
+            bias_row = chain_i * n_convs_per_chain + conv_i
+            acc = jnp.zeros((buf_rows, fc), jnp.float32)
+            for j, s in enumerate(plan):
+                row = (base + j) * fc
+                shifted = a if s == 0 else jnp.roll(a, -s, axis=0)
+                acc = acc + jnp.dot(
+                    shifted, w_ref[row : row + fc, :],
+                    preferred_element_type=jnp.float32,
+                )
+            return (acc + b_ref[bias_row : bias_row + 1, :]).astype(dtype)
+
+        total = jnp.zeros((buf_rows, fc), dtype)
+        for chain_i in range(len(kernel_sizes)):
+            y = x0
+            ci = 0
+            for _ in dilations:
+                a = jnp.where(y >= 0, y, y * slope)
+                m = conv(a, chain_i, ci) * inb
+                ci += 1
+                a2 = jnp.where(m >= 0, m, m * slope)
+                y = (y + conv(a2, chain_i, ci)) * inb
+                ci += 1
+            total = total + y
+        total = total / len(kernel_sizes)
+        o_ref[0] = total[halo : halo + tile].astype(in_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, fc), lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lf_pad, fc), in_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((buf_rows, fc), in_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xf, wcat, bcat)
+    return out[:, :lf].reshape(b, t, c)

@@ -118,3 +118,57 @@ def test_fused_resblock_bf16_io():
     rel = float(jnp.abs(ref - out.astype(jnp.float32)).max()
                 / jnp.abs(ref).max())
     assert rel < 2e-2, rel
+
+
+def test_fused_mrf_matches_direct_sum():
+    """Stage-tail fusion: mean of 3 chains (k=3/7/11, dilations 1/3/5) in
+    one kernel equals the per-chain direct computation."""
+    from rvc_tpu.ops.resblock_pallas import fused_mrf, mrf_weight_bytes
+
+    rng = np.random.default_rng(4)
+    T, C = 16384, 32
+    dil = (1, 3, 5)
+    kernel_sizes = (3, 7, 11)
+    x = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.float32)
+    chains = []
+    ref = None
+    for K in kernel_sizes:
+        k1 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+              for _ in dil]
+        b1 = [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+              for _ in dil]
+        k2 = [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+              for _ in dil]
+        b2 = [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+              for _ in dil]
+        chains.append((k1, b1, k2, b2))
+        y = _direct(x, k1, b1, k2, b2, dil, K)
+        ref = y if ref is None else ref + y
+    ref = ref / len(kernel_sizes)
+    assert mrf_weight_bytes(C, T, kernel_sizes, dil) <= 6 * 2 ** 20
+    out = fused_mrf(x, chains, kernel_sizes, dil, tile=1024, interpret=True)
+    rel = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+    assert rel < 5e-6, rel
+
+
+def test_fused_mrf_grad_flows():
+    from rvc_tpu.ops.resblock_pallas import fused_mrf
+
+    rng = np.random.default_rng(5)
+    T, C, dil, ks = 4096, 8, (1, 3), (3, 5)
+    x = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.float32)
+    chains = []
+    for K in ks:
+        chains.append((
+            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.zeros((C,), jnp.float32) for _ in dil],
+            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.zeros((C,), jnp.float32) for _ in dil],
+        ))
+    g = jax.grad(
+        lambda x: fused_mrf(x, chains, ks, dil, tile=512,
+                            interpret=True).sum()
+    )(x)
+    assert g.shape == x.shape and bool(jnp.isfinite(g).all())
