@@ -46,9 +46,13 @@ def _resblock_stage(x, ch, kernel_sizes, dilation_sizes, make_block):
     if use_mrf:
         from ...ops.resblock_pallas import fused_mrf, mrf_weight_bytes
 
+        # ~16 MB VMEM/core: an 8 MB folded-weight bank still leaves room
+        # for the tile buffers and f32 working set (measured: the 7.88 MB
+        # C=128/C=64 flagship stages compile and run; C=256 at 31.5 MB
+        # falls back to per-chain kernels)
         use_mrf = mrf_weight_bytes(
             ch, x.shape[1], kernel_sizes, dil0
-        ) <= 6 * 2 ** 20
+        ) <= 9 * 2 ** 20
     if use_mrf:
         chains = [
             make_block(ch, rk, rd, j)(x, collect_only=True)

@@ -327,6 +327,11 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
 
     in_dtype = x.dtype
     dtype = jnp.float32
+    # bf16 serving path: run the MXU dots in bf16 (4x the f32 rate; the
+    # activations were already quantized to bf16 at the kernel boundary).
+    # Rolls/adds/activations stay f32 — Mosaic miscompiles bf16 roll
+    # internals (see module docstring), so only the dot operands narrow.
+    mm = jnp.bfloat16 if in_dtype == jnp.bfloat16 else jnp.float32
 
     # fold all chains' weights into one [taps_total*fc, fc] bank
     wlist, blist, offsets = [], [], []
@@ -343,7 +348,7 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
             per_chain.append(off)
             off += len(pp)
         offsets.append(per_chain)
-    wcat = jnp.concatenate(wlist, axis=0).reshape(-1, fc)
+    wcat = jnp.concatenate(wlist, axis=0).reshape(-1, fc).astype(mm)
     bcat = jnp.stack(blist, axis=0)
     n_convs_per_chain = 2 * len(dilations)
 
@@ -373,7 +378,7 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
                 row = (base + j) * fc
                 shifted = a if s == 0 else jnp.roll(a, -s, axis=0)
                 acc = acc + jnp.dot(
-                    shifted, w_ref[row : row + fc, :],
+                    shifted.astype(mm), w_ref[row : row + fc, :],
                     preferred_element_type=jnp.float32,
                 )
             return (acc + b_ref[bias_row : bias_row + 1, :]).astype(dtype)
