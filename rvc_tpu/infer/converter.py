@@ -120,6 +120,20 @@ class VoiceConverter:
         )
         self.loaded_model = model_path
 
+    @staticmethod
+    def resolve_index_path(index_path: str) -> str:
+        """Accept a model log directory as well as an index file: pick the
+        single *index* artifact inside (the reference UI's index auto-match,
+        tabs/inference get_indexes). Returns '' when nothing is found."""
+        if not index_path or not os.path.isdir(index_path):
+            return index_path
+        hits = sorted(
+            f for f in os.listdir(index_path)
+            if "index" in f.lower() and not f.startswith(".")
+            and os.path.isfile(os.path.join(index_path, f))
+        )
+        return os.path.join(index_path, hits[0]) if hits else ""
+
     def _load_index(self, index_path: str):
         """Load the retrieval index ONCE and keep it resident on the device:
         re-uploading hundreds of MB of vectors per conversion dominates
@@ -182,6 +196,7 @@ class VoiceConverter:
             inp_f0 = np.asarray([[float(v) for v in r] for r in rows], np.float32)
 
         index_vectors = None
+        index_path = self.resolve_index_path(index_path)
         if index_path and os.path.exists(index_path) and index_rate > 0:
             index_vectors = self._load_index(index_path)
 
@@ -262,7 +277,7 @@ class VoiceConverter:
 
         rng = _jax.random.PRNGKey(0)
         index_vectors = None
-        index_path = kwargs.get("index_path", "")
+        index_path = self.resolve_index_path(kwargs.get("index_path", ""))
         index_rate = kwargs.get("index_rate", 0.0)
         if index_path and os.path.exists(index_path) and index_rate > 0:
             index_vectors = self._load_index(index_path)

@@ -46,13 +46,19 @@ def _resblock_stage(x, ch, kernel_sizes, dilation_sizes, make_block):
     if use_mrf:
         from ...ops.resblock_pallas import fused_mrf, mrf_weight_bytes
 
-        # ~16 MB VMEM/core: an 8 MB folded-weight bank still leaves room
-        # for the tile buffers and f32 working set (measured: the 7.88 MB
-        # C=128/C=64 flagship stages compile and run; C=256 at 31.5 MB
-        # falls back to per-chain kernels)
-        use_mrf = mrf_weight_bytes(
-            ch, x.shape[1], kernel_sizes, dil0
-        ) <= 9 * 2 ** 20
+        # ~16 MB VMEM/core, and the kernel's f32 working set (x0 + chain
+        # temporaries + accumulators, ~6 tile-wide f32 buffers) rides on
+        # top of the weight bank. The bank is stored at the dot dtype —
+        # bf16 on the bf16 serving path, halving its footprint — so gate
+        # on the ACTUAL bytes, conservatively: a 7.88 MB f32 bank for the
+        # C=128 stage OOMed the 16 MB scoped vmem (observed: 18 MB
+        # requested), while every bf16-banked stage (<=3.94 MB) compiles
+        # and runs. f32 callers (training/validation) keep the proven
+        # per-chain kernels except where the bank is comfortably small.
+        wb = mrf_weight_bytes(ch, x.shape[1], kernel_sizes, dil0)
+        if x.dtype == jnp.bfloat16:
+            wb //= 2
+        use_mrf = wb <= 4 * 2 ** 20
     if use_mrf:
         chains = [
             make_block(ch, rk, rd, j)(x, collect_only=True)

@@ -155,3 +155,22 @@ def test_download_trigger_server(tmp_path):
             assert r.status == 200
     finally:
         srv.shutdown()
+
+
+def test_resolve_index_path_accepts_directory(tmp_path):
+    """--index_path may be a model log dir: the single *index* artifact in
+    it is auto-matched (reference tabs/inference get_indexes behavior);
+    files and empty dirs pass through unchanged."""
+    from rvc_tpu.infer.converter import VoiceConverter
+
+    d = tmp_path / "logs" / "voice"
+    d.mkdir(parents=True)
+    (d / "voice.index.npz").write_bytes(b"x")
+    (d / "G_1.npz").write_bytes(b"x")
+    assert VoiceConverter.resolve_index_path(str(d)) == str(d / "voice.index.npz")
+    f = str(d / "voice.index.npz")
+    assert VoiceConverter.resolve_index_path(f) == f
+    e = tmp_path / "empty"
+    e.mkdir()
+    assert VoiceConverter.resolve_index_path(str(e)) == ""
+    assert VoiceConverter.resolve_index_path("") == ""
