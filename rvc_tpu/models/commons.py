@@ -134,14 +134,17 @@ class Conv1d(nn.Module):
         # Mixed precision: f32 mask multiplies may promote activations; the
         # conv follows the parameter dtype (bf16 under the train policy).
         x = x.astype(kernel.dtype)
-        if (self.stride > 1 and self.dilation == 1 and k > 1
+        if ((self.stride > 1
+             or min(in_ch // self.groups, self.features) <= 16)
+                and self.dilation == 1 and k > 1
                 and in_ch // self.groups <= 32
                 and x.shape[1] >= 256):
-            # Strided narrow convs (the MSD's 4-wide groups, the NSF
-            # source downsamplers with 1 input channel) lower to <1% MXU
-            # utilization in both forward and gradient programs; the exact
-            # time-fold reformulation runs them as 128-wide batched
-            # matmuls (ops/folded_conv.py).
+            # Narrow convs — strided (the MSD's 4-wide groups, the NSF
+            # source downsamplers with 1 input channel) or stride-1 with a
+            # skinny end (generator conv_post 32->1, MSD layer 0 1->16) —
+            # lower to <1% MXU utilization in both forward and gradient
+            # programs; the exact time-fold reformulation runs them as
+            # 128-wide batched matmuls (ops/folded_conv.py).
             from ..ops.folded_conv import folded_conv1d_strided
 
             y = folded_conv1d_strided(x, kernel, self.stride, pad, self.groups)

@@ -149,9 +149,12 @@ def folded_conv1d_strided(
     s = int(stride)
     if fold is None:
         # Fill both MXU faces: contraction fold*ci >= 128 where the MAC
-        # overhead (~D*fold/K) stays modest, output P*co >= 128.
+        # overhead (~D*fold/K) stays modest, output P*co >= 128. The cap
+        # still lets very narrow inputs (ci=1..8) reach a 128-wide
+        # contraction — the absolute FLOPs there are tiny.
         fold = max(s, s * (128 // max(co, 1)), -(-128 // max(ci, 1)))
-        fold = min(-(-fold // s) * s, 16 * s, 512)
+        cap = max(16 * s, -(-128 // max(ci, 1)) * s)
+        fold = min(-(-fold // s) * s, cap, 512)
     assert fold % s == 0
     M, D, P = _strided_fold_map(K, s, fold)
     t_out = (t + 2 * padding - K) // s + 1

@@ -28,6 +28,8 @@ CASES = [
     (1728, 1, 128, 8, 4, 2, 1),        # NSF noise conv, stride 4
     (1000, 8, 24, 7, 3, 3, 2),         # odd stride, output-trim path
     (997, 6, 12, 5, 2, 2, 3),          # T not divisible by fold
+    (1728, 32, 1, 7, 1, 3, 1),         # generator conv_post (stride 1)
+    (1728, 1, 16, 15, 1, 7, 1),        # MSD layer 0 (stride 1)
 ]
 
 
