@@ -55,6 +55,9 @@ class MultiHeadAttention(nn.Module):
     n_heads: int
     window_size: Optional[int] = 10
     heads_share: bool = True
+    # min length for the banded-correction softmax; below it the dense
+    # skew is cheaper (see comment at the branch)
+    banded_min_t: int = 448
 
     @nn.compact
     def __call__(
@@ -81,7 +84,13 @@ class MultiHeadAttention(nn.Module):
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
 
-        if self.window_size is not None and t > self.window_size:
+        # The banded correction wins at long T (it avoids six [B,H,T,2T]
+        # relayouts per layer — 30 ms of a 35 ms encoder at inference
+        # lengths) but spawns ~60 small ops per block (2*(2w+1) rolls +
+        # band dots), which dominates at training lengths (T=400, where the
+        # dense skew's relayouts are ~2.6M-element copies). Pick per length.
+        if (self.window_size is not None
+                and t > max(self.window_size, self.banded_min_t)):
             # Banded-correction softmax: the windowed rel-pos bias touches
             # only 2w+1 diagonals, so instead of materializing biased
             # [B,H,T,T] scores through the rel->abs skew (six full-matrix

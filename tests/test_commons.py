@@ -192,10 +192,14 @@ def test_banded_attention_matches_loops():
 
     rng = np.random.default_rng(0)
     L, w = 40, 10
-    mha = MultiHeadAttention(32, 32, 2, window_size=w)
+    mha = MultiHeadAttention(32, 32, 2, window_size=w)  # dense skew (L<448)
     x = jnp.asarray(rng.normal(size=(1, L, 32)), jnp.float32)
     vs = mha.init(jax.random.PRNGKey(0), x, x)
     out = np.asarray(mha.apply(vs, x, x))
+    # the banded path (default engages only at L>448) must agree: force it
+    banded = MultiHeadAttention(32, 32, 2, window_size=w, banded_min_t=0)
+    out_banded = np.asarray(banded.apply(vs, x, x))
+    assert np.abs(out - out_banded).max() / np.abs(out).max() < 1e-5
     p = vs["params"]
 
     def c1(px, name):
