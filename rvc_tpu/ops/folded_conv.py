@@ -154,7 +154,9 @@ def folded_conv1d_strided(
         # contraction — the absolute FLOPs there are tiny.
         fold = max(s, s * (128 // max(co, 1)), -(-128 // max(ci, 1)))
         cap = max(16 * s, -(-128 // max(ci, 1)) * s)
-        fold = min(-(-fold // s) * s, cap, 512)
+        # every candidate must stay a multiple of s (hard cap included,
+        # else strides that don't divide 512 trip the fold % s assert)
+        fold = min(-(-fold // s) * s, cap, max(s, 512 // s * s))
     assert fold % s == 0
     M, D, P = _strided_fold_map(K, s, fold)
     t_out = (t + 2 * padding - K) // s + 1

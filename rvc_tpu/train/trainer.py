@@ -19,6 +19,7 @@ import glob
 import json
 import os
 import re
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -36,6 +37,17 @@ from .data import BucketBatcher, VCDataset, parse_filelist, train_val_split
 from .optimizers import make_optimizer
 from .schedules import make_epoch_lr_schedule
 from .step import TrainState, create_train_state, make_train_step
+
+# Cross-thread stop request: signal handlers only install on the main
+# thread, so when fit() runs in a worker thread (the UI's Start Training
+# button) the epoch-boundary checkpoint path needs an explicit flag.
+_STOP_EVENT = threading.Event()
+
+
+def request_stop() -> None:
+    """Ask any in-process Trainer.fit loop to checkpoint and exit at the
+    next epoch boundary. Thread-safe; cleared on each fit() entry."""
+    _STOP_EVENT.set()
 
 
 class MetricsLogger:
@@ -263,6 +275,8 @@ class Trainer:
             save_state(
                 os.path.join(self.args.exp_dir, f"orbax_{epoch}"), self.state
             )
+            if self.args.save_only_latest and jax.process_index() == 0:
+                _prune_orbax_dirs(self.args.exp_dir, keep_epoch=epoch)
             if jax.process_index() != 0:
                 return  # only host 0 writes the portable .npz artifacts
         suffix = 2333333 if self.args.save_only_latest else epoch
@@ -503,6 +517,7 @@ class Trainer:
     def fit(self) -> None:
         if self.state is None:
             self.init_state()
+        _STOP_EVENT.clear()
 
         # emergency checkpoint on SIGTERM/SIGINT (reference just closes the
         # TB writer and dies, train.py:231-241 — resumable only from the last
@@ -524,7 +539,7 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.args.seed + jax.process_index())
         for epoch in range(self.start_epoch, self.args.total_epochs + 1):
-            if interrupted["flag"]:
+            if interrupted["flag"] or _STOP_EVENT.is_set():
                 self.save(epoch - 1)
                 print(f"emergency checkpoint at epoch {epoch - 1}; exiting")
                 break
@@ -547,6 +562,18 @@ class Trainer:
                 self.logger.flush()
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
+
+
+def _prune_orbax_dirs(exp_dir: str, keep_epoch: int) -> None:
+    """orbax writes one directory per epoch; honor save_only_latest's disk
+    bound by removing every orbax_<n> with n < keep_epoch (shared-FS layout,
+    so host 0 prunes for the job)."""
+    import shutil
+
+    for d in glob.glob(os.path.join(exp_dir, "orbax_*")):
+        m = re.fullmatch(r"orbax_(\d+)", os.path.basename(d))
+        if m and int(m.group(1)) < keep_epoch:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _opt_state_arrays(opt_state) -> Dict[str, Any]:

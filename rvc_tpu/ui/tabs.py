@@ -365,11 +365,14 @@ def train_tab(gr, i18n):
                     f"logs/{name}/metrics.jsonl")
 
         def do_stop():
-            import signal
+            from ..train.trainer import request_stop
 
-            # the trainer installs a SIGINT handler that checkpoints and
-            # exits at the epoch boundary
-            os.kill(os.getpid(), signal.SIGINT)
+            # fit() runs in a worker thread where SIGINT handlers cannot be
+            # installed; the trainer polls this flag at each epoch boundary
+            t = _TRAIN_THREAD["thread"]
+            if t is None or not t.is_alive():
+                return "no training run in progress"
+            request_stop()
             return "stop requested: checkpointing at the epoch boundary"
 
         def do_index(name):

@@ -30,14 +30,24 @@ def _build() -> bool:
     srcs = [s for s in srcs if os.path.exists(s)]
     if not srcs:
         return False
+    # Compile to a temp file and rename over the target: dlopen dedupes by
+    # inode, so rebuilding in place would (a) hand back the stale handle on
+    # re-CDLL and (b) truncate a possibly-mapped .so (SIGBUS risk). The
+    # rename gives the rebuilt library a fresh inode.
+    tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-             "-o", _LIB_PATH, *srcs],
+             "-o", tmp, *srcs],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return os.path.exists(_LIB_PATH)
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -65,10 +65,11 @@ def _active_level(x: np.ndarray) -> float:
 def _align(ref: np.ndarray, deg: np.ndarray, max_delay: int = SR // 2):
     """Global delay via envelope cross-correlation (coarse P.862 alignment)."""
     n = min(len(ref), len(deg))
-    env_r = np.abs(ref[:n]).reshape(-1, 64)[: n // 64].mean(axis=1) \
-        if n >= 64 else np.abs(ref[:n])
-    env_d = np.abs(deg[:n]).reshape(-1, 64)[: n // 64].mean(axis=1) \
-        if n >= 64 else np.abs(deg[:n])
+    n64 = (n // 64) * 64
+    env_r = np.abs(ref[:n64]).reshape(-1, 64).mean(axis=1) \
+        if n64 >= 64 else np.abs(ref[:n])
+    env_d = np.abs(deg[:n64]).reshape(-1, 64).mean(axis=1) \
+        if n64 >= 64 else np.abs(deg[:n])
     env_r = env_r - env_r.mean()
     env_d = env_d - env_d.mean()
     m = min(len(env_r), len(env_d))

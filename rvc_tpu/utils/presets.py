@@ -16,6 +16,7 @@ PRESET_DIR = os.path.join("assets", "presets")
 # knobs a preset may carry (the CLI/convert_audio surface)
 PRESET_KEYS = {
     "pitch", "index_rate", "volume_envelope", "protect", "f0_method",
+    "filter_radius",
     "split_audio", "f0_autotune", "f0_autotune_strength", "clean_audio",
     "clean_strength", "export_format", "embedder_model",
     "formant_shifting", "formant_qfrency", "formant_timbre",
