@@ -134,6 +134,20 @@ class Conv1d(nn.Module):
         # Mixed precision: f32 mask multiplies may promote activations; the
         # conv follows the parameter dtype (bf16 under the train policy).
         x = x.astype(kernel.dtype)
+        if k == 1 and self.stride == 1 and self.groups == 1:
+            # 1x1 conv — conv_general_dilated lowers this as a degenerate
+            # K=1 convolution fusion with poor tiling (the NSF final-stage
+            # noise conv, 1->C over T_audio, profiled at 5.9 ms/conversion).
+            # A broadcast multiply (in_ch == 1) or a plain matmul keeps it
+            # in well-tiled elementwise/MXU fusions instead.
+            if in_ch == 1:
+                y = x * kernel[0, 0, :][None, None, :]
+            else:
+                y = jnp.einsum("bti,io->bto", x, kernel[0])
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                y = y + bias
+            return y
         if ((self.stride > 1
              or min(in_ch // self.groups, self.features) <= 16)
                 and self.dilation == 1 and k > 1
