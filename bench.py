@@ -165,15 +165,23 @@ def bench_full_pipeline() -> dict:
         assert all(np.isfinite(o).all() for o in outs)
         # timed region includes the per-file host DSP (high-pass + pad),
         # applied inside the dispatch loop so it overlaps device compute —
-        # the shape of a real conversion server
-        t0 = time.perf_counter()
-        outs = pipe.voice_conversion_fused_stream(
-            raw, rng=jax.random.PRNGKey(4), prep=_prep, **vc_kwargs
-        )
-        dt = (time.perf_counter() - t0) / K
-        assert len(outs) == K
+        # the shape of a real conversion server. Median of 3 batches: the
+        # tunnel's compile/transfer service stalls unpredictably (identical
+        # warm runs have varied 2x), and a single batch lets one stall set
+        # the headline.
+        dts = []
+        for bi in range(3):
+            t0 = time.perf_counter()
+            outs = pipe.voice_conversion_fused_stream(
+                raw, rng=jax.random.PRNGKey(4 + bi), prep=_prep, **vc_kwargs
+            )
+            assert len(outs) == K
+            dts.append((time.perf_counter() - t0) / K)
+        dt = sorted(dts)[1]
         record["stream_xrt"] = seconds / dt
-        _log(f"sustained stream {dt:.3f}s per 10s conversion (K={K})")
+        record["stream_batches_xrt"] = [round(seconds / d, 1) for d in dts]
+        _log(f"sustained stream {dt:.3f}s per 10s conversion "
+             f"(K={K}, median of 3 batches {min(dts):.3f}-{max(dts):.3f})")
     except Exception as e:  # throughput is auxiliary; never sink the bench
         record["stream_error"] = f"{type(e).__name__}: {e}"[:200]
     return record
@@ -329,7 +337,10 @@ def main() -> None:
     # train-step throughput is the second north star — run it whenever any
     # budget remains (warm-cache cost ~40 s; the persistent cache in
     # .jax_bench_cache makes cold compiles a one-time event per graph)
-    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1" and left() > 45:
+    # left() > -120: train is the second north star — run it even when the
+    # pipeline warmup overran the budget (compile-service stalls have eaten
+    # 400+ s of "warm" runs); only a catastrophic overrun skips it.
+    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1" and left() > -120:
         try:
             t0 = time.perf_counter()
             record.update({k: round(v, 3) for k, v in bench_train().items()})

@@ -257,6 +257,24 @@ class Pipeline:
         from ..predictors.rmvpe import decode_salience, rmvpe_mel
 
         self._rmvpe = rmvpe
+        # bf16 serving: the DeepUnet's 3x3 conv stack is the single largest
+        # non-Pallas slice of the fused conversion (9.2 ms/conv f32, traced);
+        # bf16 halves its HBM traffic. The reference runs RMVPE at fp16 on
+        # GPU (RMVPE.py is_half), so reduced-precision salience is parity
+        # behavior; decode stays f32 (hidden is upcast before
+        # decode_salience below).
+        if self.precision == "bf16":
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                t,
+            )
+            self._rmvpe_params = cast(rmvpe.params)
+            self._rmvpe_stats = cast(rmvpe.batch_stats)
+        else:
+            self._rmvpe_params = rmvpe.params
+            self._rmvpe_stats = rmvpe.batch_stats
 
         @partial(jax.jit, static_argnames=(
             "use_autotune", "filter_radius", "f0_frames"))
@@ -281,9 +299,11 @@ class Pipeline:
             mel = rmvpe_mel(audio16k)[:, :f0_frames]
             pad = (-f0_frames) % 32
             mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+            if self.precision == "bf16":
+                mel = mel.astype(jnp.bfloat16)
             hidden = rmvpe.model.apply(
                 {"params": rmvpe_params, "batch_stats": rmvpe_stats}, mel
-            )
+            ).astype(jnp.float32)
             f0 = jax.vmap(decode_salience)(hidden[:, :f0_frames])
 
             # median filter (scipy.medfilt semantics: zero-padded edges)
@@ -356,8 +376,8 @@ class Pipeline:
         audio_out = self._convert_fused(
             self.synth_params,
             self.embedder_params,
-            self._rmvpe.params,
-            self._rmvpe.batch_stats,
+            self._rmvpe_params,
+            self._rmvpe_stats,
             jnp.asarray(self._quantize_in(audio_in)[None]),
             jnp.asarray([p_len], jnp.int32),
             jnp.asarray([sid], jnp.int32),
@@ -403,8 +423,8 @@ class Pipeline:
         audio_out = self._convert_fused(
             self.synth_params,
             self.embedder_params,
-            self._rmvpe.params,
-            self._rmvpe.batch_stats,
+            self._rmvpe_params,
+            self._rmvpe_stats,
             jnp.asarray(self._quantize_in(batch)),
             jnp.asarray(p_lens),
             jnp.full((len(audio_segs),), sid, jnp.int32),
@@ -442,7 +462,9 @@ class Pipeline:
         device computes request i — per-item wall time approaches
         max(compute, transfer) instead of their sum. This is the shape of a
         low-latency streaming server; results are bit-identical to
-        voice_conversion_fused per segment.
+        voice_conversion_fused per segment when the caller derives segment
+        rngs the same way (segment i uses jax.random.split(rng,
+        len(audio_segs))[i]).
 
         prep: optional host-DSP callable applied to each raw segment inside
         the dispatch loop, so preprocessing of item i+1 overlaps device
@@ -454,7 +476,19 @@ class Pipeline:
             audio_out, p_len = pending.pop(0)
             outs.append(self._to_host(audio_out)[0][: p_len * self.upp])
 
-        for seg in audio_segs:
+        # Hoist loop-invariant device constants: on a remote-attached
+        # accelerator every jnp.asarray is its own host->device message, so
+        # re-uploading the six unchanged scalars per item adds tunnel chatter
+        # to the steady state. One upload before the loop; one batched rng
+        # split instead of a per-item split dispatch.
+        sid_d = jnp.asarray([sid], jnp.int32)
+        index_rate_d = jnp.asarray(index_rate, jnp.float32)
+        protect_d = jnp.asarray(protect, jnp.float32)
+        pitch_shift_d = jnp.asarray(pitch_shift, jnp.float32)
+        strength_d = jnp.asarray(f0_autotune_strength, jnp.float32)
+        subs = list(jax.random.split(rng, len(audio_segs)))
+
+        for i, seg in enumerate(audio_segs):
             if prep is not None:
                 seg = prep(seg)
             t_real = seg.shape[0]
@@ -462,21 +496,20 @@ class Pipeline:
             t_pad = self._bucket_len(t_real)
             audio_in = np.zeros(t_pad, np.float32)
             audio_in[:t_real] = seg
-            rng, sub = jax.random.split(rng)
             audio_out = self._convert_fused(
                 self.synth_params,
                 self.embedder_params,
-                self._rmvpe.params,
-                self._rmvpe.batch_stats,
+                self._rmvpe_params,
+                self._rmvpe_stats,
                 jnp.asarray(self._quantize_in(audio_in)[None]),
                 jnp.asarray([p_len], jnp.int32),
-                jnp.asarray([sid], jnp.int32),
+                sid_d,
                 index_vectors,
-                jnp.asarray(index_rate, jnp.float32),
-                jnp.asarray(protect, jnp.float32),
-                jnp.asarray(pitch_shift, jnp.float32),
-                jnp.asarray(f0_autotune_strength, jnp.float32),
-                sub,
+                index_rate_d,
+                protect_d,
+                pitch_shift_d,
+                strength_d,
+                subs[i],
                 use_autotune=bool(f0_autotune),
                 filter_radius=int(filter_radius),
                 f0_frames=t_pad // WINDOW + 1,

@@ -383,17 +383,26 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
                 )
             return (acc + b_ref[bias_row : bias_row + 1, :]).astype(dtype)
 
+        # Lockstep chain interleaving: the three chains are independent
+        # dataflows, but Mosaic's list scheduler follows emission order —
+        # emitting them sequentially serialized each chain's VPU work
+        # (leaky/roll/mask) against its own MXU dots. Advancing all chains
+        # one conv at a time lets chain B's dots overlap chain A's
+        # elementwise ops: measured 1.48 -> 1.14 ms/call at the C=32
+        # T=245k stage (no-dependency bound 1.09). Per-chain math and
+        # summation order are unchanged — results are bit-identical.
+        nch = len(kernel_sizes)
+        ys = [x0 for _ in range(nch)]
+        ci = 0
+        for _ in dilations:
+            acts = [jnp.where(y >= 0, y, y * slope) for y in ys]
+            ms_ = [conv(acts[c_], c_, ci) * inb for c_ in range(nch)]
+            ci += 1
+            a2s = [jnp.where(m >= 0, m, m * slope) for m in ms_]
+            ys = [(ys[c_] + conv(a2s[c_], c_, ci)) * inb for c_ in range(nch)]
+            ci += 1
         total = jnp.zeros((buf_rows, fc), dtype)
-        for chain_i in range(len(kernel_sizes)):
-            y = x0
-            ci = 0
-            for _ in dilations:
-                a = jnp.where(y >= 0, y, y * slope)
-                m = conv(a, chain_i, ci) * inb
-                ci += 1
-                a2 = jnp.where(m >= 0, m, m * slope)
-                y = (y + conv(a2, chain_i, ci)) * inb
-                ci += 1
+        for y in ys:
             total = total + y
         total = total / len(kernel_sizes)
         o_ref[0] = total[halo : halo + tile].astype(in_dtype)

@@ -129,3 +129,26 @@ def test_converter_builds_predictor_registry():
     # hybrid spawns both
     p2 = vc.get_predictors("hybrid[rmvpe+fcpe]")
     assert "fcpe" in p2
+
+
+def test_rmvpe_bf16_salience_close_to_f32():
+    """bf16 serving path (pipeline precision="bf16" casts RMVPE params and
+    mel): salience must stay close to the f32 forward. The reference runs
+    RMVPE at fp16 on GPU (RMVPE.py is_half), so reduced precision here is
+    parity behavior, not a shortcut."""
+    import jax
+    from rvc_tpu.predictors.rmvpe import E2EModel
+
+    model = E2EModel()
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(1, 32, 128)) * 2.0, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), mel)
+    h32 = np.asarray(model.apply(variables, mel))
+    cast = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+    h16 = np.asarray(model.apply(
+        cast(variables), mel.astype(jnp.bfloat16)).astype(jnp.float32))
+    # sigmoid outputs in [0,1]; bf16 keeps ~2-3 decimal digits
+    assert np.abs(h16 - h32).mean() < 0.01
+    assert np.abs(h16 - h32).max() < 0.08

@@ -428,14 +428,15 @@ def test_stream_matches_single_fused(tiny_pipe):
         ]
         kw = dict(sid=0, index_vectors=None, index_rate=0.0, protect=0.5,
                   pitch_shift=0, filter_radius=3)
-        # per-segment rngs must line up: stream splits its rng per segment
+        # per-segment rngs must line up: the stream derives segment i's rng
+        # as jax.random.split(rng, n)[i] (one batched split dispatch instead
+        # of a per-item split — see voice_conversion_fused_stream docstring)
         rng = jax.random.PRNGKey(9)
-        singles = []
-        r = rng
-        for f in files:
-            r, sub = jax.random.split(r)
-            singles.append(
-                tiny_pipe.voice_conversion_fused(f, rng=sub, **kw))
+        subs = list(jax.random.split(rng, len(files)))
+        singles = [
+            tiny_pipe.voice_conversion_fused(f, rng=sub, **kw)
+            for f, sub in zip(files, subs)
+        ]
         streamed = tiny_pipe.voice_conversion_fused_stream(
             files, rng=rng, **kw)
         assert len(streamed) == len(singles)
