@@ -514,6 +514,14 @@ class Pipeline:
                 filter_radius=int(filter_radius),
                 f0_frames=t_pad // WINDOW + 1,
             )
+            # Enqueue the device->host copy at dispatch time: the transfer
+            # starts the moment the program finishes on-device, overlapping
+            # the tunnel round trip with later items' compute instead of
+            # paying it synchronously inside _drain_one's np.asarray.
+            try:
+                audio_out.copy_to_host_async()
+            except Exception:
+                pass  # backend without async D2H: drain stays synchronous
             pending.append((audio_out, p_len))
             if len(pending) > depth:
                 _drain_one()
