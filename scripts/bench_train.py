@@ -73,13 +73,15 @@ def main(batch_size: int = 8, frames: int = 400, n_steps: int = 10) -> None:
     )
     t0 = time.time()
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics)
+    np.asarray(metrics["loss_disc"])  # block_until_ready returns early here
     print(f"compile+first step {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
     for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(metrics)
+    # steps chain through donated state; fetching the last metrics forces
+    # the whole sequence (block_until_ready returns early on this backend)
+    np.asarray(metrics["loss_disc"])
     dt = (time.time() - t0) / n_steps
     print(json.dumps({
         "metric": "train_steps_per_sec_48k",
