@@ -252,14 +252,15 @@ class MultiScaleDiscriminator(nn.Module):
             return nn.avg_pool(x, (k,), strides=(k,), padding="SAME")
 
         discs = [DiscriminatorS(name=f"disc_s{k}") for k in (1, 2, 4)]
+        b = y.shape[0]
+        xy = jnp.concatenate([y, y_hat], axis=0)  # one doubled batch/scale
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d, k in zip(discs, (1, 2, 4)):
-            out_r, fr = d(pooled(y, k))
-            out_g, fg = d(pooled(y_hat, k))
-            y_d_rs.append(out_r)
-            y_d_gs.append(out_g)
-            fmap_rs.append(fr)
-            fmap_gs.append(fg)
+            out, fmap = d(pooled(xy, k))
+            y_d_rs.append(out[:b])
+            y_d_gs.append(out[b:])
+            fmap_rs.append([f[:b] for f in fmap])
+            fmap_gs.append([f[b:] for f in fmap])
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
@@ -457,14 +458,19 @@ class CombinedDiscriminator(nn.Module):
 
 
 def _run_discs(discs, y, y_hat):
+    # One doubled batch per sub-discriminator instead of separate real/fake
+    # passes: batch-parallel ops make the halves independent (identical
+    # results), and halving the op count is a straight win on TPU where
+    # these small convs are launch/relayout-bound, not FLOP-bound.
+    b = y.shape[0]
+    xy = jnp.concatenate([y, y_hat], axis=0)
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     for d in discs:
-        out_r, fmap_r = d(y)
-        out_g, fmap_g = d(y_hat)
-        y_d_rs.append(out_r)
-        y_d_gs.append(out_g)
-        fmap_rs.append(fmap_r)
-        fmap_gs.append(fmap_g)
+        out, fmap = d(xy)
+        y_d_rs.append(out[:b])
+        y_d_gs.append(out[b:])
+        fmap_rs.append([f[:b] for f in fmap])
+        fmap_gs.append([f[b:] for f in fmap])
     return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 

@@ -130,12 +130,18 @@ class MultiPeriodDiscriminator(nn.Module):
         discs = [DiscriminatorS(name="disc_s")] + [
             DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
         ]
+        # Real and fake ride through each sub-discriminator as ONE doubled
+        # batch: convs are batch-parallel, so results are identical, but the
+        # op count halves. The MPD cost on TPU is per-op overhead (~90 small
+        # convs/step, each launch/relayout-bound at these tiny spatial dims),
+        # not FLOPs, so 2x batch at half the ops is a straight win.
+        b = y.shape[0]
+        xy = jnp.concatenate([y, y_hat], axis=0)
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d in discs:
-            out_r, fmap_r = d(y)
-            out_g, fmap_g = d(y_hat)
-            y_d_rs.append(out_r)
-            y_d_gs.append(out_g)
-            fmap_rs.append(fmap_r)
-            fmap_gs.append(fmap_g)
+            out, fmap = d(xy)
+            y_d_rs.append(out[:b])
+            y_d_gs.append(out[b:])
+            fmap_rs.append([f[:b] for f in fmap])
+            fmap_gs.append([f[b:] for f in fmap])
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
