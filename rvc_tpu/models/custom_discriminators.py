@@ -459,9 +459,9 @@ class CombinedDiscriminator(nn.Module):
 
 def _run_discs(discs, y, y_hat):
     # One doubled batch per sub-discriminator instead of separate real/fake
-    # passes: batch-parallel ops make the halves independent (identical
-    # results), and halving the op count is a straight win on TPU where
-    # these small convs are launch/relayout-bound, not FLOP-bound.
+    # passes: batch-parallel ops make the halves independent (identical up
+    # to fp accumulation order), and halving the op count helps on TPU
+    # where these small convs are launch/relayout-bound, not FLOP-bound.
     b = y.shape[0]
     xy = jnp.concatenate([y, y_hat], axis=0)
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []

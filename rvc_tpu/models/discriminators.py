@@ -131,7 +131,8 @@ class MultiPeriodDiscriminator(nn.Module):
             DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
         ]
         # Real and fake ride through each sub-discriminator as ONE doubled
-        # batch: convs are batch-parallel, so results are identical, but the
+        # batch: convs are batch-parallel, so results are identical (up to
+        # fp accumulation order), but the
         # op count halves. The MPD cost on TPU is per-op overhead (~90 small
         # convs/step, each launch/relayout-bound at these tiny spatial dims),
         # not FLOPs, so 2x batch at half the ops is a straight win.

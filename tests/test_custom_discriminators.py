@@ -131,3 +131,33 @@ def test_registry_has_all_reference_discriminators():
 
     assert {"mpd_v1", "mrd", "msstft", "mssbcqt", "msd",
             "fregan_mpd", "mmsd"} <= set(DISCRIMINATOR_REGISTRY)
+
+
+def test_doubled_batch_halves_are_independent():
+    """Real and fake ride through each sub-discriminator as one concatenated
+    batch (models/discriminators.py, custom_discriminators._run_discs). The
+    split must be exact: swapping the (real, fake) argument order must swap
+    the (real, fake) outputs, which fails if any op couples the two halves
+    (e.g. a batch-coupled norm) or the slice offsets are wrong. Tolerances
+    are fp-reassociation-level: XLA may accumulate convs in a
+    batch-position-dependent order (~2e-8 rel observed on CPU at highest
+    matmul precision), which is not half-coupling."""
+    from rvc_tpu.models.discriminators import MultiPeriodDiscriminator
+
+    y, z = _wave(1), _wave(2)
+    for d in (MultiPeriodDiscriminator(periods=(2, 3)),
+              MultiScaleDiscriminator(),
+              MultiResolutionDiscriminator(resolutions=((512, 128, 512),))):
+        vs = d.init(jax.random.PRNGKey(0), y, z)
+        r1, g1, fr1, fg1 = d.apply(vs, y, z)
+        r2, g2, fr2, fg2 = d.apply(vs, z, y)
+        for a, b in zip(r1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-7)
+        for a, b in zip(g1, r2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-7)
+        for fa, fb in zip(fr1, fg2):
+            for a, b in zip(fa, fb):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-6, atol=1e-7)
