@@ -132,10 +132,9 @@ class MultiPeriodDiscriminator(nn.Module):
         ]
         # Real and fake ride through each sub-discriminator as ONE doubled
         # batch: convs are batch-parallel, so results are identical (up to
-        # fp accumulation order), but the
-        # op count halves. The MPD cost on TPU is per-op overhead (~90 small
-        # convs/step, each launch/relayout-bound at these tiny spatial dims),
-        # not FLOPs, so 2x batch at half the ops is a straight win.
+        # fp accumulation order) while the op count halves. The MPD cost on
+        # TPU is per-op overhead (~90 small convs/step, each
+        # launch/relayout-bound at these tiny spatial dims), not FLOPs.
         b = y.shape[0]
         xy = jnp.concatenate([y, y_hat], axis=0)
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []

@@ -317,6 +317,57 @@ def convert_torch_synthesizer(
     return jax.tree.map(jnp.asarray, params)
 
 
+def conv2d_wn(sd, prefix) -> Dict[str, np.ndarray]:
+    """Weight-normalized torch Conv2d [out,in,kh,kw] -> flax HWIO + g[out]
+    (models.discriminators.WNConv2d layout)."""
+    p: Dict[str, np.ndarray] = {}
+    if f"{prefix}.weight_v" in sd:
+        v = _np(sd[f"{prefix}.weight_v"])              # [out, in, kh, kw]
+        g = _np(sd[f"{prefix}.weight_g"]).reshape(-1)  # [out]
+        p["kernel"] = np.transpose(v, (2, 3, 1, 0))
+        p["g"] = g
+    else:
+        w = _np(sd[f"{prefix}.weight"])
+        p["kernel"] = np.transpose(w, (2, 3, 1, 0))
+        p["g"] = np.sqrt((p["kernel"] ** 2).sum(axis=(0, 1, 2)) + 1e-12)
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def convert_torch_mpd(
+    state_dict: Dict[str, Any],
+    periods=(2, 3, 5, 7, 11, 17, 23, 37),
+) -> Dict[str, Any]:
+    """Torch MultiPeriodDiscriminator state_dict -> flax params for
+    models.discriminators.MultiPeriodDiscriminator.
+
+    Reference layout (rvc/lib/algorithm/discriminators.py:23-30):
+    discriminators.0 = DiscriminatorS (weight-normed Conv1d, 6 convs +
+    conv_post), discriminators.1..8 = DiscriminatorP over the period list
+    (weight-normed Conv2d, 5 convs + conv_post). Pretrained f0D*.pth
+    checkpoints store this under the full-ckpt 'model' key
+    (rvc/train/utils.py:34-118)."""
+    sd = normalize_weight_norm_keys(
+        {k: _np(v) for k, v in state_dict.items()}
+    )
+    params: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for i in range(6):
+        s[f"conv_{i}"] = conv1d(
+            sd, f"discriminators.0.convs.{i}", weight_norm=True
+        )
+    s["conv_post"] = conv1d(sd, "discriminators.0.conv_post", weight_norm=True)
+    params["disc_s"] = s
+    for j, per in enumerate(periods, start=1):
+        d: Dict[str, Any] = {}
+        for i in range(5):
+            d[f"conv_{i}"] = conv2d_wn(sd, f"discriminators.{j}.convs.{i}")
+        d["conv_post"] = conv2d_wn(sd, f"discriminators.{j}.conv_post")
+        params[f"disc_p{per}"] = d
+    return jax.tree.map(jnp.asarray, params)
+
+
 def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Read a reference deployable .pth: returns (flax_params, metadata).
 
@@ -336,6 +387,12 @@ def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         weights = cpt
     # strip any non-tensor metadata that leaked into the weight dict
     weights = {k: v for k, v in weights.items() if hasattr(v, "shape")}
+    if any(k.startswith("discriminators.") for k in weights):
+        # pretrained discriminator ckpt (f0D*.pth) — not a synthesizer
+        return convert_torch_mpd(weights), {
+            k: cpt.get(k) for k in ("epoch", "step", "learning_rate")
+            if isinstance(cpt, dict)
+        }
     meta = {
         k: cpt.get(k)
         for k in ("config", "sr", "f0", "version", "vocoder",

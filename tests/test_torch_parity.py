@@ -406,3 +406,85 @@ def test_voice_conversion_end_to_end_parity():
         np.abs(o_ref).max() + 1e-9
     )
     assert rel < 6e-3, rel
+
+
+# ---------------------------------------------------------------------------
+# discriminator (pretrained f0D*.pth import path)
+# ---------------------------------------------------------------------------
+
+
+def test_mpd_parity():
+    """Seeded reference MultiPeriodDiscriminator -> convert_torch_mpd ->
+    flax MPD must reproduce logits and feature maps (the pretrain_d import,
+    reference discriminators.py:9-148 / train.py pretrained D load)."""
+    from rvc.lib.algorithm.discriminators import (
+        MultiPeriodDiscriminator as TorchMPD,
+    )
+
+    from rvc_tpu.models.discriminators import (
+        MultiPeriodDiscriminator as FlaxMPD,
+    )
+    from rvc_tpu.utils.checkpoints import convert_torch_mpd
+
+    torch.manual_seed(0)
+    tm = TorchMPD().eval()
+    params = convert_torch_mpd(tm.state_dict())
+
+    rng = np.random.default_rng(0)
+    wav_r = rng.normal(size=(2, 1, 3700)).astype(np.float32) * 0.1
+    wav_g = rng.normal(size=(2, 1, 3700)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        r_ref, g_ref, fr_ref, fg_ref = tm(
+            torch.from_numpy(wav_r), torch.from_numpy(wav_g)
+        )
+
+    fm = FlaxMPD()
+    r, g, fr, fg = fm.apply(
+        {"params": params},
+        jnp.asarray(wav_r.transpose(0, 2, 1)),
+        jnp.asarray(wav_g.transpose(0, 2, 1)),
+    )
+    assert len(r) == len(r_ref) == 9
+    for ours, ref in ((r, r_ref), (g, g_ref)):
+        for a, b in zip(ours, ref):
+            b = b.numpy()
+            rel = np.abs(np.asarray(a) - b).max() / max(np.abs(b).max(), 1e-9)
+            assert rel < 5e-4, rel
+    # spot-check one fmap per disc (layouts differ: ours NT..C, torch NC..T)
+    for fa, fb in zip(fr, fr_ref):
+        a = np.asarray(fa[-1])  # conv_post pre-flatten
+        b = fb[-1].numpy()
+        if a.ndim == 3:   # [B, T, C] vs [B, C, T]
+            a = a.transpose(0, 2, 1)
+        else:             # [B, T//p, p, C] vs [B, C, T//p, p]
+            a = a.transpose(0, 3, 1, 2)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        assert rel < 5e-4, rel
+
+
+def test_load_rvc_pth_dispatches_discriminator(tmp_path):
+    """A pretrained f0D*.pth ({'model': mpd_state_dict}) must route to
+    convert_torch_mpd, not the synthesizer converter (trainer pretrain_d)."""
+    from rvc.lib.algorithm.discriminators import (
+        MultiPeriodDiscriminator as TorchMPD,
+    )
+
+    from rvc_tpu.models.discriminators import (
+        MultiPeriodDiscriminator as FlaxMPD,
+    )
+    from rvc_tpu.utils.checkpoints import load_rvc_pth
+
+    torch.manual_seed(1)
+    tm = TorchMPD()
+    path = str(tmp_path / "f0D_test.pth")
+    torch.save({"model": tm.state_dict(), "epoch": 3,
+                "learning_rate": 1e-4}, path)
+    params, meta = load_rvc_pth(path)
+    assert meta.get("epoch") == 3
+
+    wav = jnp.zeros((1, 512, 1), jnp.float32)
+    ref_shapes = jax.tree.map(
+        jnp.shape, FlaxMPD().init(jax.random.PRNGKey(0), wav, wav)["params"]
+    )
+    got_shapes = jax.tree.map(jnp.shape, params)
+    assert ref_shapes == got_shapes
