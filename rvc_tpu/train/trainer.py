@@ -330,6 +330,22 @@ class Trainer:
                 )
             except Exception as e:
                 print(f".pth deployable export skipped ({e})")
+        if self.args.discriminators == "mpd":
+            # reference-loadable full D ckpt (utils.py save layout) so a
+            # run trained here can seed the reference's pretrained-D path
+            try:
+                from ..utils.export_torch import export_rvc_d_pth
+
+                export_rvc_d_pth(
+                    jax.device_get(self.state.params_d),
+                    os.path.join(self.args.exp_dir, f"D_{suffix}.pth"),
+                    epoch=epoch,
+                    learning_rate=self.cfg.train.learning_rate,
+                    periods=tuple(getattr(self.model_d, "periods", ())
+                                  or (2, 3, 5, 7, 11, 17, 23, 37)),
+                )
+            except Exception as e:
+                print(f"D .pth export skipped ({e})")
 
     # -- loops --------------------------------------------------------------
 

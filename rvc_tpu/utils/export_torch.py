@@ -234,3 +234,60 @@ def export_rvc_pth(
     }
     torch.save(cpt, path)
     return path
+
+
+def _conv2d_out(sd, prefix, p):
+    """Weight-normed flax HWIO conv (discriminators.WNConv2d) -> torch
+    Conv2d weight_g/weight_v [out, in, kh, kw]."""
+    kernel = _np(p["kernel"])  # [kh, kw, in, out]
+    sd[f"{prefix}.weight_g"] = _np(p["g"]).reshape(-1, 1, 1, 1)
+    sd[f"{prefix}.weight_v"] = np.transpose(kernel, (3, 2, 0, 1))
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def mpd_to_torch_state_dict(
+    params: Dict[str, Any],
+    periods=(2, 3, 5, 7, 11, 17, 23, 37),
+) -> Dict[str, np.ndarray]:
+    """Flax MultiPeriodDiscriminator params -> reference torch state_dict
+    (rvc/lib/algorithm/discriminators.py:23-148 key layout). Inverse of
+    checkpoints.convert_torch_mpd."""
+    sd: Dict[str, np.ndarray] = {}
+    s = params["disc_s"]
+    for i in range(6):
+        _conv1d_out(sd, f"discriminators.0.convs.{i}", s[f"conv_{i}"],
+                    weight_norm=True)
+    _conv1d_out(sd, "discriminators.0.conv_post", s["conv_post"],
+                weight_norm=True)
+    for j, per in enumerate(periods, start=1):
+        d = params[f"disc_p{per}"]
+        for i in range(5):
+            _conv2d_out(sd, f"discriminators.{j}.convs.{i}", d[f"conv_{i}"])
+        _conv2d_out(sd, f"discriminators.{j}.conv_post", d["conv_post"])
+    return sd
+
+
+def export_rvc_d_pth(
+    params: Dict[str, Any],
+    path: str,
+    epoch: int = 0,
+    learning_rate: float = 1e-4,
+    periods=(2, 3, 5, 7, 11, 17, 23, 37),
+) -> str:
+    """Write a reference-loadable full D checkpoint ({'model': state_dict,
+    'iteration', 'optimizer', 'learning_rate'} — rvc/train/utils.py
+    save_checkpoint layout, as consumed by its pretrained-D load path)."""
+    import torch
+
+    sd = mpd_to_torch_state_dict(params, periods=periods)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    cpt = {
+        "model": tensors,
+        "iteration": epoch,
+        "optimizer": {},
+        "learning_rate": learning_rate,
+    }
+    torch.save(cpt, path)
+    return path

@@ -488,3 +488,39 @@ def test_load_rvc_pth_dispatches_discriminator(tmp_path):
     )
     got_shapes = jax.tree.map(jnp.shape, params)
     assert ref_shapes == got_shapes
+
+
+def test_mpd_export_roundtrip(tmp_path):
+    """Flax MPD params -> export_rvc_d_pth -> reference torch MPD loads the
+    state_dict strictly AND reproduces our logits (the switch-back path)."""
+    from rvc.lib.algorithm.discriminators import (
+        MultiPeriodDiscriminator as TorchMPD,
+    )
+
+    from rvc_tpu.models.discriminators import (
+        MultiPeriodDiscriminator as FlaxMPD,
+    )
+    from rvc_tpu.utils.export_torch import export_rvc_d_pth
+
+    fm = FlaxMPD()
+    wav = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 2048, 1)), jnp.float32
+    )
+    params = fm.init(jax.random.PRNGKey(7), wav, wav)["params"]
+    path = str(tmp_path / "D_export.pth")
+    export_rvc_d_pth(params, path, epoch=5)
+
+    cpt = torch.load(path, map_location="cpu", weights_only=True)
+    tm = TorchMPD()
+    tm.load_state_dict(cpt["model"], strict=True)
+    tm.eval()
+    assert cpt["iteration"] == 5
+
+    r_ours, _, _, _ = fm.apply({"params": params}, wav, wav)
+    with torch.no_grad():
+        wt = torch.from_numpy(np.asarray(wav).transpose(0, 2, 1))
+        r_ref, _, _, _ = tm(wt, wt)
+    for a, b in zip(r_ours, r_ref):
+        b = b.numpy()
+        rel = np.abs(np.asarray(a) - b).max() / max(np.abs(b).max(), 1e-9)
+        assert rel < 5e-4, rel
