@@ -330,6 +330,23 @@ class Trainer:
                 )
             except Exception as e:
                 print(f".pth deployable export skipped ({e})")
+            # full-format G ckpt: the layout the reference's pretrained-G
+            # path strict-loads (train.py:755-765) for fine-tuning
+            try:
+                from ..utils.export_torch import export_rvc_g_pth
+
+                export_rvc_g_pth(
+                    jax.device_get(self.state.params_g),
+                    os.path.join(self.args.exp_dir, f"G_{suffix}.pth"),
+                    epoch=epoch,
+                    learning_rate=self.cfg.train.learning_rate,
+                    n_enc_layers=self.cfg.model.n_layers,
+                    wn_layers_posterior=getattr(
+                        self.model_g, "posterior_layers", 16),
+                    wn_layers_flow=getattr(self.model_g, "flow_layers", 3),
+                )
+            except Exception as e:
+                print(f"G .pth full export skipped ({e})")
         if self.args.discriminators == "mpd":
             # reference-loadable full D ckpt (utils.py save layout) so a
             # run trained here can seed the reference's pretrained-D path

@@ -291,3 +291,30 @@ def export_rvc_d_pth(
     }
     torch.save(cpt, path)
     return path
+
+
+def export_rvc_g_pth(
+    params: Dict[str, Any],
+    path: str,
+    epoch: int = 0,
+    learning_rate: float = 1e-4,
+    **kw,
+) -> str:
+    """Write a reference-loadable full G checkpoint ({'model': state_dict,
+    'iteration', 'optimizer', 'learning_rate'}). Unlike export_rvc_pth
+    (deployable 'weight' format for inference), this is the layout the
+    reference's pretrained-G path strict-loads (train.py:755-765), so a run
+    trained here can seed reference fine-tuning. Keeps enc_q and fp32."""
+    import torch
+
+    sd = synthesizer_to_torch_state_dict(params, **kw)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    cpt = {
+        "model": tensors,
+        "iteration": epoch,
+        "optimizer": {},
+        "learning_rate": learning_rate,
+    }
+    torch.save(cpt, path)
+    return path

@@ -149,6 +149,10 @@ def test_trainer_one_epoch_and_resume(tmp_path):
 
     assert os.path.exists(exp / "G_1.npz")
     assert os.path.exists(exp / "D_1.npz")
+    # reference-interop full ckpts (strict-loadable by the reference's
+    # pretrained G/D paths; see utils/export_torch.py)
+    assert os.path.exists(exp / "G_1.pth")
+    assert os.path.exists(exp / "D_1.pth")
     deploy = [p for p in os.listdir(exp) if p.endswith("_1e.npz")]
     assert deploy, "deployable export missing"
     assert os.path.exists(exp / "metrics.jsonl")

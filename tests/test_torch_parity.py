@@ -524,3 +524,34 @@ def test_mpd_export_roundtrip(tmp_path):
         b = b.numpy()
         rel = np.abs(np.asarray(a) - b).max() / max(np.abs(b).max(), 1e-9)
         assert rel < 5e-4, rel
+
+
+def test_full_g_export_strict_loads_in_reference(tmp_path):
+    """Full-format G export must strict-load into the reference Synthesizer
+    and reproduce the original state dict exactly (train.py:755-765 is a
+    strict load, so any key/shape drift breaks reference fine-tuning)."""
+    from rvc.lib.algorithm.synthesizers import Synthesizer as TorchSynth
+
+    from rvc_tpu.utils.checkpoints import convert_torch_synthesizer
+    from rvc_tpu.utils.export_torch import export_rvc_g_pth
+
+    torch.manual_seed(0)
+    tm = TorchSynth(**TINY, vocoder="HiFi-GAN")
+    ref_sd = {k: v.clone() for k, v in tm.state_dict().items()}
+
+    params = convert_torch_synthesizer(
+        ref_sd, n_enc_layers=TINY["n_layers"], n_ups=3, num_kernels=1,
+    )
+    path = str(tmp_path / "G_full.pth")
+    export_rvc_g_pth(params, path, epoch=7,
+                     n_enc_layers=TINY["n_layers"],
+                     wn_layers_posterior=16, wn_layers_flow=3)
+
+    cpt = torch.load(path, map_location="cpu", weights_only=True)
+    assert cpt["iteration"] == 7
+    tm2 = TorchSynth(**TINY, vocoder="HiFi-GAN")
+    tm2.load_state_dict(cpt["model"], strict=True)
+    for k, v in tm2.state_dict().items():
+        np.testing.assert_allclose(
+            v.numpy(), ref_sd[k].numpy(), rtol=1e-5, atol=1e-6, err_msg=k
+        )
