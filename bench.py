@@ -341,12 +341,27 @@ def main() -> None:
     # pipeline warmup overran the budget (compile-service stalls have eaten
     # 400+ s of "warm" runs); only a catastrophic overrun skips it.
     if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1" and left() > -120:
+        # Hard watchdog: a compile-service stall inside bench_train must
+        # not hold the process past the final record print (the driver's
+        # kill would lose the already-measured pipeline numbers too). The
+        # alarm raises into the except below; the record still prints.
+        import signal
+
+        def _deadline(signum, frame):
+            raise TimeoutError("train bench watchdog expired")
+
+        budget = max(60.0, min(300.0, left() + 120.0))
+        old = signal.signal(signal.SIGALRM, _deadline)
+        signal.alarm(int(budget))
         try:
             t0 = time.perf_counter()
             record.update({k: round(v, 3) for k, v in bench_train().items()})
             _log(f"train bench done {time.perf_counter()-t0:.1f}s")
         except Exception as e:  # train bench must not sink the whole run
             record["train_error"] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
     else:
         record.setdefault("train_skipped", "budget")
     if left() > 90:

@@ -134,7 +134,7 @@ class Conv1d(nn.Module):
         # Mixed precision: f32 mask multiplies may promote activations; the
         # conv follows the parameter dtype (bf16 under the train policy).
         x = x.astype(kernel.dtype)
-        if k == 1 and self.stride == 1 and self.groups == 1:
+        if k == 1 and self.stride == 1 and self.groups == 1 and pad == 0:
             # 1x1 conv — conv_general_dilated lowers this as a degenerate
             # K=1 convolution fusion with poor tiling (the NSF final-stage
             # noise conv, 1->C over T_audio, profiled at 5.9 ms/conversion).

@@ -46,8 +46,17 @@ _STOP_EVENT = threading.Event()
 
 def request_stop() -> None:
     """Ask any in-process Trainer.fit loop to checkpoint and exit at the
-    next epoch boundary. Thread-safe; cleared on each fit() entry."""
+    next epoch boundary. Thread-safe. fit() never clears the flag itself —
+    a stop requested during the minutes-long init/compile must survive
+    until the first epoch check — so launchers that reuse the process
+    (the UI's Start Training) call reset_stop() BEFORE spawning the run."""
     _STOP_EVENT.set()
+
+
+def reset_stop() -> None:
+    """Clear a stale stop flag. Call before launching a new in-process run
+    (after any previous run has exited), never between launch and stop."""
+    _STOP_EVENT.clear()
 
 
 class MetricsLogger:
@@ -164,6 +173,7 @@ class Trainer:
 
         self.model_g = Synthesizer.from_config(cfg)
         names = [n.strip() for n in args.discriminators.split(",") if n.strip()]
+        self._disc_names = names
         if names == ["mpd"]:
             self.model_d = MultiPeriodDiscriminator()
         else:
@@ -347,7 +357,7 @@ class Trainer:
                 )
             except Exception as e:
                 print(f"G .pth full export skipped ({e})")
-        if self.args.discriminators == "mpd":
+        if self._disc_names == ["mpd"]:
             # reference-loadable full D ckpt (utils.py save layout) so a
             # run trained here can seed the reference's pretrained-D path
             try:
@@ -548,9 +558,11 @@ class Trainer:
             pass
 
     def fit(self) -> None:
+        # no _STOP_EVENT.clear() here: a stop requested while init_state
+        # compiles (minutes) must take effect at the first epoch check.
+        # Stale-flag hygiene is the launcher's job (reset_stop()).
         if self.state is None:
             self.init_state()
-        _STOP_EVENT.clear()
 
         # emergency checkpoint on SIGTERM/SIGINT (reference just closes the
         # TB writer and dies, train.py:231-241 — resumable only from the last

@@ -357,7 +357,13 @@ def train_tab(gr, i18n):
             if cus and dp:
                 args += ["--d_pretrained_path", dp]
             # run in a thread so the UI stays responsive (the reference
-            # forks a subprocess, tabs/train/train.py run_train_script)
+            # forks a subprocess, tabs/train/train.py run_train_script).
+            # Clear any stale stop flag BEFORE the thread exists: fit()
+            # deliberately never clears it, so a Stop pressed during the
+            # minutes-long compile still lands (trainer.request_stop).
+            from ..train.trainer import reset_stop
+
+            reset_stop()
             t = threading.Thread(target=cli_main, args=(args,), daemon=True)
             _TRAIN_THREAD["thread"] = t
             t.start()

@@ -337,7 +337,7 @@ def conv2d_wn(sd, prefix) -> Dict[str, np.ndarray]:
 
 def convert_torch_mpd(
     state_dict: Dict[str, Any],
-    periods=(2, 3, 5, 7, 11, 17, 23, 37),
+    periods=None,
 ) -> Dict[str, Any]:
     """Torch MultiPeriodDiscriminator state_dict -> flax params for
     models.discriminators.MultiPeriodDiscriminator.
@@ -351,6 +351,26 @@ def convert_torch_mpd(
     sd = normalize_weight_norm_keys(
         {k: _np(v) for k, v in state_dict.items()}
     )
+    n_discs = 1 + max(
+        (int(k.split(".")[1]) for k in sd if k.startswith("discriminators.")),
+        default=-1,
+    )
+    if periods is None:
+        # period values are not recorded in the state_dict; map the module
+        # count to the known layouts (v2: 8 periods, v1: 5 periods)
+        by_count = {9: (2, 3, 5, 7, 11, 17, 23, 37), 6: (2, 3, 5, 7, 11)}
+        periods = by_count.get(n_discs)
+        if periods is None:
+            raise ValueError(
+                f"unrecognized MPD layout: {n_discs} sub-discriminators "
+                "(expected 9 for v2 periods 2..37 or 6 for v1 periods "
+                "2..11); pass periods= explicitly"
+            )
+    elif n_discs != len(periods) + 1:
+        raise ValueError(
+            f"checkpoint has {n_discs} sub-discriminators but "
+            f"{len(periods)} periods were given"
+        )
     params: Dict[str, Any] = {}
     s: Dict[str, Any] = {}
     for i in range(6):
@@ -388,11 +408,14 @@ def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     # strip any non-tensor metadata that leaked into the weight dict
     weights = {k: v for k, v in weights.items() if hasattr(v, "shape")}
     if any(k.startswith("discriminators.") for k in weights):
-        # pretrained discriminator ckpt (f0D*.pth) — not a synthesizer
-        return convert_torch_mpd(weights), {
-            k: cpt.get(k) for k in ("epoch", "step", "learning_rate")
-            if isinstance(cpt, dict)
-        }
+        # pretrained discriminator ckpt (f0D*.pth) — not a synthesizer.
+        # Full D ckpts store the epoch as 'iteration'
+        # (rvc/train/utils.py save_checkpoint layout).
+        meta_d = {}
+        if isinstance(cpt, dict):
+            meta_d = {"epoch": cpt.get("iteration"),
+                      "learning_rate": cpt.get("learning_rate")}
+        return convert_torch_mpd(weights), meta_d
     meta = {
         k: cpt.get(k)
         for k in ("config", "sr", "f0", "version", "vocoder",

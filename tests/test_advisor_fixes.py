@@ -37,31 +37,78 @@ def test_preset_roundtrip_keeps_filter_radius(tmp_path):
     assert "junk" not in pr
 
 
-def test_request_stop_sets_and_fit_clears_flag():
-    """request_stop works from any thread; fit() clears it on entry so a
-    stale stop doesn't kill the next run."""
+def test_request_stop_sets_and_reset_clears_flag():
+    """request_stop works from any thread; fit() deliberately never clears
+    the flag (a stop during the minutes-long init/compile must land), so
+    launchers call reset_stop() before spawning a new run."""
     from rvc_tpu.train import trainer as T
 
-    T._STOP_EVENT.clear()
+    T.reset_stop()
     th = threading.Thread(target=T.request_stop)
     th.start()
     th.join()
     assert T._STOP_EVENT.is_set()
-    T._STOP_EVENT.clear()
+    T.reset_stop()
+    assert not T._STOP_EVENT.is_set()
+
+
+def _train_tab_handlers():
+    """Build the real train tab through the FakeGradio shim and return the
+    wired (do_train, do_stop) click handlers."""
+    from test_ui_builders import I18N, make_gr
+
+    from rvc_tpu.ui import tabs
+
+    gr = make_gr()
+    tabs.train_tab(gr, I18N)
+    clicks = [(fn, ins) for c in gr.components
+              for (fn, ins, _outs) in getattr(c, "events", [])]
+    do_stop = next(fn for fn, ins in clicks
+                   if fn.__name__ == "do_stop")
+    do_train = next(fn for fn, ins in clicks
+                    if fn.__name__ == "do_train")
+    return do_train, do_stop
 
 
 def test_ui_stop_without_training_run():
-    """The Stop Training handler must not SIGINT the process; with no run
-    in flight it reports that and leaves the stop flag untouched."""
+    """Driving the REAL Stop handler with no run in flight must report that
+    and leave the stop flag untouched (no SIGINT, no stale flag)."""
     from rvc_tpu.train import trainer as T
     from rvc_tpu.ui import tabs
 
+    _do_train, do_stop = _train_tab_handlers()
     tabs._TRAIN_THREAD["thread"] = None
-    T._STOP_EVENT.clear()
-    # the handler is defined inside train_tab; exercise the same logic the
-    # button uses by checking the registry contract it reads
-    assert tabs._TRAIN_THREAD["thread"] is None
+    T.reset_stop()
+    msg = do_stop()
+    assert "no training run" in msg
     assert not T._STOP_EVENT.is_set()
+
+
+def test_ui_stop_during_startup_survives(monkeypatch):
+    """A stop clicked while the run is still compiling (thread alive, fit
+    not yet polling) must persist: fit never clears the flag, and the
+    handler sets it whenever the thread is alive."""
+    import time
+
+    from rvc_tpu.train import trainer as T
+    from rvc_tpu.ui import tabs
+
+    _do_train, do_stop = _train_tab_handlers()
+    release = threading.Event()
+    t = threading.Thread(target=release.wait, daemon=True)
+    t.start()  # stands in for the cli_main/Trainer-init thread
+    tabs._TRAIN_THREAD["thread"] = t
+    T.reset_stop()
+    try:
+        msg = do_stop()
+        assert "stop requested" in msg
+        # the flag must still be set for fit()'s first epoch-boundary check
+        assert T._STOP_EVENT.is_set()
+    finally:
+        release.set()
+        t.join(timeout=5)
+        tabs._TRAIN_THREAD["thread"] = None
+        T.reset_stop()
 
 
 def test_orbax_prune_keeps_only_latest(tmp_path):

@@ -477,10 +477,12 @@ def test_load_rvc_pth_dispatches_discriminator(tmp_path):
     torch.manual_seed(1)
     tm = TorchMPD()
     path = str(tmp_path / "f0D_test.pth")
-    torch.save({"model": tm.state_dict(), "epoch": 3,
-                "learning_rate": 1e-4}, path)
+    # real full-D layout: rvc/train/utils.py save_checkpoint
+    torch.save({"model": tm.state_dict(), "iteration": 3,
+                "optimizer": {}, "learning_rate": 1e-4}, path)
     params, meta = load_rvc_pth(path)
     assert meta.get("epoch") == 3
+    assert meta.get("learning_rate") == 1e-4
 
     wav = jnp.zeros((1, 512, 1), jnp.float32)
     ref_shapes = jax.tree.map(
@@ -555,3 +557,27 @@ def test_full_g_export_strict_loads_in_reference(tmp_path):
         np.testing.assert_allclose(
             v.numpy(), ref_sd[k].numpy(), rtol=1e-5, atol=1e-6, err_msg=k
         )
+
+
+def test_convert_torch_mpd_infers_v1_layout():
+    """A 6-module MPD (v1: DiscriminatorS + periods 2,3,5,7,11) must map to
+    disc_p2..disc_p11; an unknown module count must raise, not KeyError."""
+    from rvc.lib.algorithm.discriminators import (
+        MultiPeriodDiscriminator as TorchMPD,
+    )
+
+    from rvc_tpu.utils.checkpoints import convert_torch_mpd
+
+    torch.manual_seed(2)
+    full = TorchMPD().state_dict()
+    v1 = {k: v for k, v in full.items()
+          if int(k.split(".")[1]) < 6}
+    params = convert_torch_mpd(v1)
+    assert set(params) == {"disc_s", "disc_p2", "disc_p3", "disc_p5",
+                           "disc_p7", "disc_p11"}
+
+    v_bad = {k: v for k, v in full.items() if int(k.split(".")[1]) < 4}
+    with pytest.raises(ValueError, match="unrecognized MPD layout"):
+        convert_torch_mpd(v_bad)
+    with pytest.raises(ValueError, match="sub-discriminators"):
+        convert_torch_mpd(v1, periods=(2, 3))
