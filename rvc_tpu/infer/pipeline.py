@@ -369,8 +369,8 @@ class Pipeline:
         single jitted call. Semantically equal to get_f0 + voice_conversion
         for the rmvpe method without an external f0 file."""
         t_real = audio_seg.shape[0]
-        p_len = t_real // WINDOW
         t_pad = self._bucket_len(t_real)
+        p_len = self._p_len(t_real, t_pad)
         audio_in = np.zeros(t_pad, np.float32)
         audio_in[:t_real] = audio_seg
         audio_out = self._convert_fused(
@@ -419,7 +419,7 @@ class Pipeline:
         batch = np.zeros((len(audio_segs), t_pad), np.float32)
         for i, s in enumerate(audio_segs):
             batch[i, : s.shape[0]] = s
-        p_lens = np.asarray([t // WINDOW for t in t_reals], np.int32)
+        p_lens = np.asarray([self._p_len(t, t_pad) for t in t_reals], np.int32)
         audio_out = self._convert_fused(
             self.synth_params,
             self.embedder_params,
@@ -492,8 +492,8 @@ class Pipeline:
             if prep is not None:
                 seg = prep(seg)
             t_real = seg.shape[0]
-            p_len = t_real // WINDOW
             t_pad = self._bucket_len(t_real)
+            p_len = self._p_len(t_real, t_pad)
             audio_in = np.zeros(t_pad, np.float32)
             audio_in[:t_real] = seg
             audio_out = self._convert_fused(
@@ -560,12 +560,23 @@ class Pipeline:
     def _bucket_len(self, t: int) -> int:
         """Pad a 16k segment length up to a canonical multiple of 1 s so jit
         compiles at most ~70 shapes over the full operating range (persistent
-        cache makes each a one-time cost). Always strictly greater than t so
-        the (HuBERT-truncated) latent covers all p_len real frames; finer
-        buckets waste at most ~1 s of synthesis per conversion (the old 2 s
-        steps wasted up to 12% of device compute on typical lengths)."""
+        cache makes each a one-time cost). Finer buckets waste at most ~1 s
+        of synthesis per conversion (the old 2 s steps wasted up to 12% of
+        device compute on typical lengths)."""
         step = SAMPLE_RATE
         return ((t + step) // step) * step
+
+    def _p_len(self, t_real: int, t_pad: int) -> int:
+        """Latent frames available for a real length inside its bucket:
+        min(t_real // WINDOW, 2 * hubert_frames(t_pad)). The reference
+        truncates identically when the interpolated feats come up short
+        (rvc/infer/pipeline.py:467, p_len = min(len // window, feats));
+        without the min, lengths with t_real % 16000 in [15840, 16000)
+        claim one more frame than the embedder emits from the bucket
+        (2*((L-400)//320+1) = 100k-2 < 100k-1) and the output tail would
+        carry 10 ms of masked zeros."""
+        emb_frames = 2 * ((t_pad - 400) // 320 + 1)
+        return min(t_real // WINDOW, emb_frames)
 
     def get_f0(
         self,
@@ -650,8 +661,8 @@ class Pipeline:
     ) -> np.ndarray:
         """Convert one 16k segment -> tgt_sr audio (pipeline.py:412-494)."""
         t_real = audio_seg.shape[0]
-        p_len = t_real // WINDOW
         t_pad = self._bucket_len(t_real)
+        p_len = self._p_len(t_real, t_pad)
         audio_in = np.zeros(t_pad, np.float32)
         audio_in[:t_real] = audio_seg
 
@@ -711,7 +722,7 @@ class Pipeline:
         p_lens = np.zeros((b,), np.int32)
         for i, seg in enumerate(segments):
             audio_in[i, : len(seg)] = seg
-            p_lens[i] = len(seg) // WINDOW
+            p_lens[i] = self._p_len(len(seg), t_pad)
             if use_pitch:
                 n = min(p_lens[i], len(pitches[i]))
                 pit[i, :n] = pitches[i][:n]

@@ -174,3 +174,25 @@ def test_resolve_index_path_accepts_directory(tmp_path):
     e.mkdir()
     assert VoiceConverter.resolve_index_path(str(e)) == ""
     assert VoiceConverter.resolve_index_path("") == ""
+
+
+def test_p_len_truncates_to_embedder_frames():
+    """Lengths whose remainder mod 16000 falls in [15840, 16000) get one
+    fewer latent frame than t//160 from their bucket (HuBERT VALID stack:
+    2*((L-400)//320+1) frames); _p_len must truncate exactly like the
+    reference (rvc/infer/pipeline.py:467) instead of claiming a frame the
+    embedder never emits."""
+    from rvc_tpu.infer.pipeline import Pipeline
+
+    def emb_frames(L):
+        ks, ss = (10, 3, 3, 3, 3, 2, 2), (5, 2, 2, 2, 2, 2, 2)
+        for k, s in zip(ks, ss):
+            L = (L - k) // s + 1
+        return 2 * L
+
+    bucket = Pipeline._bucket_len
+    for t_real in (15839, 15840, 15900, 15999, 16000, 31850, 63900, 64000):
+        t_pad = bucket(None, t_real)
+        p = Pipeline._p_len(None, t_real, t_pad)
+        assert p <= emb_frames(t_pad), (t_real, p, emb_frames(t_pad))
+        assert p == min(t_real // 160, emb_frames(t_pad))
