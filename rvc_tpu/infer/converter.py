@@ -93,7 +93,12 @@ class VoiceConverter:
 
     def get_vc(self, model_path: str, embedder_model: str = "contentvec",
                embedder_model_custom: Optional[str] = None) -> None:
-        if self.loaded_model == model_path and self.pipeline is not None:
+        emb_key = embedder_model_custom or embedder_model
+        if (
+            self.loaded_model == model_path
+            and self.pipeline is not None
+            and emb_key == self.last_embedder
+        ):
             return
         if model_path.endswith(".pth"):
             params, meta = load_rvc_pth(model_path)
@@ -253,7 +258,11 @@ class VoiceConverter:
             return os.path.join(audio_output_path, f"{base}_output.wav")
 
         todo = [f for f in files if not os.path.exists(out_path(f))]
-        if not batch_pack:
+        # Options the packed device-batch path cannot reproduce exactly fall
+        # back to the serial path for ALL files so one run never converts
+        # files under different settings depending on their length.
+        serial_only = bool(kwargs.get("split_audio")) or bool(kwargs.get("f0_file"))
+        if not batch_pack or serial_only:
             for f in todo:
                 self.convert_audio(f, out_path(f), **kwargs)
             return
@@ -264,11 +273,20 @@ class VoiceConverter:
         pipe = self.pipeline
         short, long_files = [], []
         max_len = pipe.t_max
+        formant_shifting = bool(kwargs.get("formant_shifting"))
         for f in todo:
             audio = load_audio(f, 16000)
             peak = np.abs(audio).max() / 0.95
             if peak > 1.0:
                 audio = audio / peak
+            if formant_shifting:
+                from .formant import formant_shift
+
+                audio = formant_shift(
+                    audio, 16000,
+                    kwargs.get("formant_qfrency", 1.0),
+                    kwargs.get("formant_timbre", 1.0),
+                )
             (short if len(audio) + 2 * pipe.t_pad <= max_len else long_files).append(
                 (f, audio)
             )
@@ -288,6 +306,12 @@ class VoiceConverter:
         sid = kwargs.get("sid", 0)
         protect = kwargs.get("protect", 0.5)
         volume_envelope = kwargs.get("volume_envelope", 1.0)
+        f0_autotune = bool(kwargs.get("f0_autotune", False))
+        f0_autotune_strength = kwargs.get("f0_autotune_strength", 1.0)
+        clean_audio = bool(kwargs.get("clean_audio", False))
+        clean_strength = kwargs.get("clean_strength", 0.7)
+        post_process = bool(kwargs.get("post_process", False))
+        export_format = kwargs.get("export_format", "WAV")
 
         # group short files; one device batch per group
         for i in range(0, len(short), device_batch):
@@ -303,6 +327,8 @@ class VoiceConverter:
                     pc, pf = pipe.get_f0(
                         audio_pad, p_len, pitch_shift, f0_method,
                         self.get_predictors(f0_method),
+                        f0_autotune=f0_autotune,
+                        f0_autotune_strength=f0_autotune_strength,
                         filter_radius=filter_radius,
                     )
                 else:
@@ -328,8 +354,15 @@ class VoiceConverter:
                 peak = np.abs(trimmed).max() / 0.99
                 if peak > 1.0:
                     trimmed = trimmed / peak
+                if clean_audio:
+                    from ..train.preprocess import spectral_gate
+
+                    trimmed = spectral_gate(trimmed, self.tgt_sr, clean_strength)
+                if post_process:
+                    trimmed = apply_post_process(trimmed, self.tgt_sr, **kwargs)
                 save_audio(out_path(f), trimmed.astype(np.float32), self.tgt_sr)
-                print(f"batch-converted {f}")
+                final = self._export(out_path(f), export_format)
+                print(f"batch-converted {f} -> {final}")
 
         for f, _ in long_files:
             self.convert_audio(f, out_path(f), **kwargs)

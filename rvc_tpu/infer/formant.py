@@ -35,7 +35,8 @@ def formant_shift(
     n_q = ceps.shape[0]
     lifter = np.zeros((n_q, 1))
     lifter[:cutoff] = 1.0
-    lifter[-cutoff + 1 :] = 1.0  # symmetric low-quefrency window
+    if cutoff > 1:  # cutoff==1: `[-0:]` would select ALL bins, not none
+        lifter[-(cutoff - 1):] = 1.0  # symmetric low-quefrency window
     env_log = np.fft.rfft(ceps * lifter, axis=0).real       # smooth envelope
     exc_log = logm - env_log                                 # excitation
 

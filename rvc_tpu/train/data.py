@@ -96,14 +96,19 @@ class VCDataset:
         self.hop_length = hop_length
         self.win_length = win_length
         self.cache_spec = cache_spec
-        # Cheap length estimate without reading audio (data_utils.py:39:
-        # filesize // (3 * hop) on 16-bit wavs; exact length read lazily).
-        self.lengths = [
-            max(1, os.path.getsize(r.wav_path) // (2 * hop_length))
-            if os.path.exists(r.wav_path)
-            else 1
-            for r in self.rows
-        ]
+        # Cheap frame count from the WAV header alone (the reference guesses
+        # filesize // (3 * hop) assuming 16-bit PCM, data_utils.py:39 — that
+        # overestimates float32 wavs, our preprocess output, by 2x and would
+        # pad half of every bucket). Header block_align makes it exact for
+        # any sample format; sample decode stays lazy.
+        from ..utils.audio_io import wav_frames
+
+        self.lengths = []
+        for r in self.rows:
+            n = wav_frames(r.wav_path) if os.path.exists(r.wav_path) else None
+            if n is None and os.path.exists(r.wav_path):
+                n = os.path.getsize(r.wav_path) // 2  # 16-bit fallback guess
+            self.lengths.append(max(1, (n or 1) // hop_length))
 
     def __len__(self) -> int:
         return len(self.rows)

@@ -212,8 +212,10 @@ class PreProcess:
 
     def _normalize(self, audio: np.ndarray) -> Optional[np.ndarray]:
         peak = np.abs(audio).max()
-        if peak > 2.5:
-            return None  # reject clipped/broken takes (preprocess.py:59-61)
+        if peak > 2.5 or peak == 0:
+            # reject clipped/broken takes (preprocess.py:59-61); peak==0
+            # (digitally silent) would divide to NaN and poison the dataset
+            return None
         return (audio / peak * (MAX_AMPLITUDE * ALPHA)) + (1 - ALPHA) * audio
 
     def _write_segment(self, seg: Optional[np.ndarray], sid, idx0, idx1) -> None:

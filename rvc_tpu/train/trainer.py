@@ -385,11 +385,14 @@ class Trainer:
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        failure: list = []
 
         def worker():
             try:
                 for item in iterator:
                     q.put(item)
+            except BaseException as e:  # propagate to the consumer, not stderr
+                failure.append(e)
             finally:
                 q.put(sentinel)
 
@@ -397,25 +400,42 @@ class Trainer:
         while True:
             item = q.get()
             if item is sentinel:
+                if failure:
+                    raise failure[0]
                 return
             yield item
 
     def train_epoch(self, epoch: int, rng: jax.Array) -> Dict[str, float]:
         t0 = time.time()
-        last_metrics: Dict[str, float] = {}
-        sums: Dict[str, float] = collections.defaultdict(float)
+        # Keep per-step metrics on device: a float()/int() per step is a
+        # blocking host round trip (~tunnel RTT each) that serializes device
+        # and host. Sums accumulate as async device adds; only the 50-step
+        # log points and the epoch end fetch.
+        sums_dev = None
+        last_dev = None
+        step0 = int(self.state.step)
         n = 0
         for batch in self._prefetch(self.batcher(epoch=epoch)):
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.jstep(self.state, self._shard_batch(batch), sub)
             n += 1
-            step = int(self.state.step)
-            host = {k: float(v) for k, v in metrics.items()}
-            for k, v in host.items():
-                sums[k] += v
+            last_dev = metrics
+            sums_dev = (
+                metrics if sums_dev is None
+                else {k: sums_dev[k] + v for k, v in metrics.items()}
+            )
+            step = step0 + n
             if step % 50 == 0:
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 self.logger.log(step, host, prefix="train/")
-            last_metrics = host
+        last_metrics = (
+            {k: float(v) for k, v in jax.device_get(last_dev).items()}
+            if last_dev is not None else {}
+        )
+        sums = (
+            {k: float(v) for k, v in jax.device_get(sums_dev).items()}
+            if sums_dev is not None else {}
+        )
         avg = {f"avg/{k}": v / max(n, 1) for k, v in sums.items()}
         avg["epoch_seconds"] = time.time() - t0
         avg["steps_per_sec"] = n / max(avg["epoch_seconds"], 1e-9)

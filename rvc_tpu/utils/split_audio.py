@@ -49,9 +49,14 @@ def process_audio(
     for a, b in intervals:
         s = a * hop_length
         e = min(len(audio), b * hop_length + frame_length)
-        out.append((s, e))
+        out.append([s, e])
+    # The frame_length tail extension can run past the next loud run's start
+    # when only one silent frame separates them (hop = frame/2); clamp so
+    # intervals never overlap — merge_audio would duplicate the overlap.
+    for j in range(len(out) - 1):
+        out[j][1] = min(out[j][1], out[j + 1][0])
     if not out:
-        out = [(0, len(audio))]
+        out = [[0, len(audio)]]
     intervals_arr = np.asarray(out, dtype=np.int64)
     segments = [audio[s:e] for s, e in intervals_arr]
     return segments, intervals_arr
