@@ -24,6 +24,24 @@ def _bool(v) -> bool:
     return str(v).lower() in ("true", "1", "yes")
 
 
+def pretrained_selector(vocoder: str, sample_rate: int) -> tuple[str, str]:
+    """Default pretrained G/D for a vocoder+sr, if staged locally.
+
+    Mirrors reference rvc/lib/tools/pretrained_selector.py: looks under
+    models/pretraineds/<vocoder-lower>/f0{G,D}{sr/1000}k.* — native .npz
+    preferred, reference .pth accepted — and returns ("", "") when the
+    pair is absent (training then starts from scratch, like the reference).
+    """
+    base = os.path.join("models", "pretraineds", vocoder.lower())
+    sr_tag = str(sample_rate)[:2]
+    for ext in (".npz", ".pth"):
+        path_g = os.path.join(base, f"f0G{sr_tag}k{ext}")
+        path_d = os.path.join(base, f"f0D{sr_tag}k{ext}")
+        if os.path.exists(path_g) and os.path.exists(path_d):
+            return path_g, path_d
+    return "", ""
+
+
 def _add_post_fx_args(p: argparse.ArgumentParser) -> None:
     for flag in ("post_process", "reverb", "pitch_shift", "limiter", "gain",
                  "distortion", "chorus", "bitcrush", "clipping", "compressor",
@@ -330,6 +348,13 @@ def main(argv=None) -> int:
             ),
         )
         exp_dir = os.path.join("logs", args.model_name)
+        pretrain_g = args.g_pretrained_path
+        pretrain_d = args.d_pretrained_path
+        if args.pretrained and not (pretrain_g or pretrain_d):
+            # no custom paths: auto-select the staged default pretrains for
+            # this vocoder+sr (reference rvc/lib/tools/pretrained_selector.py)
+            pretrain_g, pretrain_d = pretrained_selector(
+                args.vocoder, args.sample_rate)
         targs = TrainerArgs(
             exp_dir=exp_dir,
             discriminators=args.discriminators,
@@ -337,8 +362,8 @@ def main(argv=None) -> int:
             total_epochs=args.total_epoch,
             save_every_epoch=args.save_every_epoch,
             save_only_latest=args.save_only_latest,
-            pretrain_g=args.g_pretrained_path if args.pretrained else "",
-            pretrain_d=args.d_pretrained_path if args.pretrained else "",
+            pretrain_g=pretrain_g if args.pretrained else "",
+            pretrain_d=pretrain_d if args.pretrained else "",
         )
         Trainer(cfg, targs).fit()
         from .train.index_builder import build_index

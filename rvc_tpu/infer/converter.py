@@ -104,7 +104,10 @@ class VoiceConverter:
             params, meta = load_rvc_pth(model_path)
             self.tgt_sr = int(meta.get("sr") or 48000)
             vocoder = meta.get("vocoder") or "HiFi-GAN"
-            self.use_f0 = bool(meta.get("f0", 1))
+            # full-training ckpts carry f0=None (key present): default to 1
+            # only when absent/None — 0 is a legal "no pitch" value
+            f0_meta = meta.get("f0")
+            self.use_f0 = bool(1 if f0_meta is None else f0_meta)
             spk = int(meta.get("speakers_id") or 109)
         else:
             params, meta = load_checkpoint(model_path)

@@ -13,7 +13,6 @@ TensorBoard if available); checkpoints are our .npz format.
 
 from __future__ import annotations
 
-import collections
 import dataclasses
 import glob
 import json
@@ -60,16 +59,15 @@ def reset_stop() -> None:
 
 
 class MetricsLogger:
-    """JSONL + optional TensorBoard scalars, with 50-step rolling means
-    (reference avg_50_cache, train.py:988-1003)."""
+    """JSONL + optional TensorBoard scalars. Window-averaged loss scalars
+    (the reference's 50-step avg_50_cache smoothing, train.py:988-1003) are
+    computed in train_epoch from the device-side running sums and logged
+    under `avg50/` — no per-step host fetches."""
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._file = open(self.path, "a", buffering=1)
-        self.rolling: Dict[str, collections.deque] = collections.defaultdict(
-            lambda: collections.deque(maxlen=50)
-        )
         self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -81,19 +79,12 @@ class MetricsLogger:
     def log(self, step: int, scalars: Dict[str, float], prefix: str = "") -> None:
         rec = {"step": step}
         for k, v in scalars.items():
-            v = float(v)
-            key = f"{prefix}{k}"
-            rec[key] = v
-            self.rolling[key].append(v)
+            rec[f"{prefix}{k}"] = float(v)
         self._file.write(json.dumps(rec) + "\n")
         if self._tb is not None:
             for k, v in rec.items():
                 if k != "step":
                     self._tb.add_scalar(k, v, step)
-
-    def rolling_mean(self, key: str) -> float:
-        vals = self.rolling.get(key)
-        return float(np.mean(vals)) if vals else float("nan")
 
     def flush(self) -> None:
         self._file.flush()
@@ -415,6 +406,8 @@ class Trainer:
         last_dev = None
         step0 = int(self.state.step)
         n = 0
+        prev_sums = None
+        prev_n = 0
         for batch in self._prefetch(self.batcher(epoch=epoch)):
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.jstep(self.state, self._shard_batch(batch), sub)
@@ -426,7 +419,14 @@ class Trainer:
             )
             step = step0 + n
             if step % 50 == 0:
+                # one fetch of the running sums yields both the snapshot and
+                # the exact mean over the last window (reference avg_50_cache)
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                sums = {k: float(v) for k, v in jax.device_get(sums_dev).items()}
+                w = max(n - prev_n, 1)
+                for k, v in sums.items():
+                    host[f"avg50/{k}"] = (v - (prev_sums or {}).get(k, 0.0)) / w
+                prev_sums, prev_n = sums, n
                 self.logger.log(step, host, prefix="train/")
         last_metrics = (
             {k: float(v) for k, v in jax.device_get(last_dev).items()}
@@ -455,15 +455,6 @@ class Trainer:
             max_items = len(self.val_ds)
         d = self.cfg.data
         mel_l1s, mrstfts, sisdrs, pesqs = [], [], [], []
-        infer = type(self.model_g).infer
-        if not hasattr(self, "_jit_infer"):
-            self._jit_infer = jax.jit(
-                lambda params, phone, lengths, pitch, pitchf, sid, rng:
-                self.model_g.apply(
-                    {"params": params}, phone, lengths, pitch, pitchf, sid,
-                    method=infer, rngs={"noise": rng},
-                )
-            )
         for i in range(min(len(self.val_ds), max_items)):
             ex = self.val_ds[i]
             n = int(ex["length"])
@@ -483,7 +474,7 @@ class Trainer:
             lengths = jnp.asarray([n], jnp.int32)
             sid = jnp.asarray([int(ex["sid"])], jnp.int32)
             rng, sub = jax.random.split(rng)
-            audio, _ = self._jit_infer(
+            audio, _ = self._get_jit_infer()(
                 self.state.params_g, phone, lengths, pitch, pitchf, sid, sub
             )
             y_hat = np.asarray(audio[0, :, 0])
@@ -530,6 +521,21 @@ class Trainer:
             self.logger.log(int(self.state.step), out)
         return out
 
+    def _get_jit_infer(self):
+        """One jitted net_g.infer graph shared by validate and
+        render_reference — eager apply dispatches thousands of individual
+        ops over the remote-device tunnel (see init_state)."""
+        if not hasattr(self, "_jit_infer"):
+            infer = type(self.model_g).infer
+            self._jit_infer = jax.jit(
+                lambda params, phone, lengths, pitch, pitchf, sid, rng:
+                self.model_g.apply(
+                    {"params": params}, phone, lengths, pitch, pitchf, sid,
+                    method=infer, rngs={"noise": rng},
+                )
+            )
+        return self._jit_infer
+
     def render_reference(self, epoch: int, rng: jax.Array) -> Optional[str]:
         """Golden-input regression probe: render logs/reference/{ref_feats,
         ref_f0c, ref_f0f}.npy through net_g.infer each save epoch (reference
@@ -542,22 +548,32 @@ class Trainer:
         feats = np.load(paths[0])
         f0c = np.load(paths[1])
         f0f = np.load(paths[2])
-        phone = np.repeat(feats, 2, axis=0)
-        n = min(len(phone), len(f0c), len(f0f))
-        audio, _ = self.model_g.apply(
-            {"params": self.state.params_g},
-            jnp.asarray(phone[None, :n], jnp.float32),
+        phone_r = np.repeat(feats, 2, axis=0)
+        n = min(len(phone_r), len(f0c), len(f0f))
+        # pad to the same 100-frame buckets validate uses so the shared
+        # jitted graph reuses a compiled shape
+        n_pad = -(-n // 100) * 100
+        phone = np.zeros((1, n_pad, phone_r.shape[1]), np.float32)
+        phone[0, :n] = phone_r[:n]
+        pitch = np.zeros((1, n_pad), np.int32)
+        pitch[0, :n] = f0c[:n]
+        pitchf = np.zeros((1, n_pad), np.float32)
+        pitchf[0, :n] = f0f[:n]
+        audio, _ = self._get_jit_infer()(
+            self.state.params_g,
+            jnp.asarray(phone),
             jnp.asarray([n], jnp.int32),
-            jnp.asarray(f0c[None, :n], jnp.int32),
-            jnp.asarray(f0f[None, :n], jnp.float32),
+            jnp.asarray(pitch),
+            jnp.asarray(pitchf),
             jnp.zeros((1,), jnp.int32),
-            method=type(self.model_g).infer,
-            rngs={"noise": rng},
+            rng,
         )
         from ..utils.audio_io import write_wav
 
+        # trim the bucket padding: one frame decodes to hop_length samples
+        wav = np.asarray(audio[0, :, 0])[: n * self.cfg.data.hop_length]
         out = os.path.join(self.args.exp_dir, f"reference_e{epoch}.wav")
-        write_wav(out, np.asarray(audio[0, :, 0]), self.cfg.data.sample_rate)
+        write_wav(out, wav, self.cfg.data.sample_rate)
         return out
 
     def _write_heartbeat(self, epoch: int) -> None:

@@ -19,10 +19,17 @@ import threading
 
 
 def _model_choices():
-    return sorted(
+    cands = sorted(
         glob.glob(os.path.join("logs", "**", "*.npz"), recursive=True)
         + glob.glob(os.path.join("logs", "**", "*.pth"), recursive=True)
     )
+    # keep synthesizer checkpoints only: drop retrieval indexes and
+    # discriminator checkpoints that share the logs/ tree
+    return [
+        p for p in cands
+        if not p.endswith(".index.npz")
+        and not os.path.basename(p).startswith("D_")
+    ]
 
 
 def _index_choices():
@@ -356,6 +363,12 @@ def train_tab(gr, i18n):
                 args += ["--g_pretrained_path", gp]
             if cus and dp:
                 args += ["--d_pretrained_path", dp]
+            # one live run at a time: a second Start would clear the first
+            # run's pending stop flag and interleave checkpoint writes
+            prev = _TRAIN_THREAD["thread"]
+            if prev is not None and prev.is_alive():
+                return ("a training run is already in progress; press "
+                        "Stop Training and wait for it to finish first")
             # run in a thread so the UI stays responsive (the reference
             # forks a subprocess, tabs/train/train.py run_train_script).
             # Clear any stale stop flag BEFORE the thread exists: fit()
@@ -411,14 +424,19 @@ def tts_tab(gr, i18n):
     btn = gr.Button(i18n("Convert"))
     out = gr.Audio(label=i18n("Export Audio"))
 
+    # one converter per tab so repeated TTS conversions reuse the cached
+    # model/embedder/jitted pipeline (same pattern as inference_tab)
+    from ..infer.converter import VoiceConverter
+
+    vc = VoiceConverter()
+
     def do_tts(t, v, r, mdl, *values):
-        from ..infer.converter import VoiceConverter
         from ..utils.tts import run_tts
 
         tts_path = os.path.join("logs", "tts_raw.wav")
         out_path = os.path.join("logs", "tts_output.wav")
         run_tts(t, v, int(r), tts_path)
-        VoiceConverter().convert_audio(
+        vc.convert_audio(
             audio_input_path=tts_path, audio_output_path=out_path,
             model_path=mdl, **_knob_kwargs(values),
         )

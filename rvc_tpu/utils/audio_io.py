@@ -42,7 +42,9 @@ def write_wav(path: str, data: np.ndarray, sr: int, subtype: str = "PCM_16") -> 
         out = np.clip(data, -1.0, 1.0)
         out = (out * 32767.0).astype(np.int16)
     elif subtype == "PCM_32":
-        out = np.clip(data, -1.0, 1.0)
+        # scale in float64: float32(1.0 * 2147483647) rounds UP to 2^31 and
+        # wraps full-scale peaks to INT32_MIN on the int32 cast
+        out = np.clip(data.astype(np.float64), -1.0, 1.0)
         out = (out * 2147483647.0).astype(np.int32)
     elif subtype == "FLOAT":
         out = data.astype(np.float32)

@@ -74,10 +74,9 @@ def model_blender(
 
 def model_information(path: str) -> Dict[str, Any]:
     """Return (and pretty-print) checkpoint metadata."""
-    _, meta = _load_any(path)
+    params, meta = _load_any(path)
     n_params = None
     try:
-        params, _ = _load_any(path)
         n_params = int(sum(np.asarray(v).size for v in _leaves(params)))
     except Exception:
         pass
