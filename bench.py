@@ -307,11 +307,11 @@ def bench_train(batch_size: int = 8, frames: int = 400) -> dict:
 def main() -> None:
     import jax
 
+    # repo-local persistent cache: survives across driver rounds on the
+    # same host, so warm-up compiles are a one-time cost
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_bench_cache")
     try:
-        # repo-local persistent cache: survives across driver rounds on the
-        # same host, so warm-up compiles are a one-time cost
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_bench_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
@@ -327,7 +327,39 @@ def main() -> None:
 
     record = {}
     t0 = time.perf_counter()
-    full = bench_full_pipeline()
+    # Hard watchdog: the remote compile service stalls unpredictably (warm
+    # runs observed 36-786 s). A stall inside the pipeline bench must not
+    # hang the process past the driver's kill — the JSON line below must
+    # ALWAYS print, even if it reports a failure.
+    import signal
+
+    def _pipe_deadline(signum, frame):
+        raise TimeoutError("pipeline bench watchdog expired")
+
+    hard_cap = float(os.environ.get("RVC_BENCH_HARD_CAP_S",
+                                    str(max(600.0, budget_s + 120.0))))
+    last_good_path = os.path.join(cache_dir, "last_good.json")
+    old_h = signal.signal(signal.SIGALRM, _pipe_deadline)
+    signal.alarm(int(hard_cap))
+    try:
+        full = bench_full_pipeline()
+    except Exception as e:
+        # emit an honest failure record (value 0) with the last successful
+        # run attached for context, then stop — the same stall would eat
+        # the remaining sections too
+        fail = {"metric": "vc_e2e_realtime_factor_48k", "value": 0.0,
+                "unit": "x_realtime", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            with open(last_good_path) as f:
+                fail["last_good"] = json.load(f)
+        except Exception:
+            pass
+        print(json.dumps(fail))
+        return
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
     record.update({k: (round(v, 2) if isinstance(v, float) else v)
                    for k, v in full.items()
                    if k not in ("full_xrt", "stream_xrt")})
@@ -374,13 +406,20 @@ def main() -> None:
     # latency_xrt — through this tunnel it is dominated by +-30% round-trip
     # jitter (see docs/PERFORMANCE.md)
     xrt = full.get("stream_xrt") or full["full_xrt"]
-    print(json.dumps({
+    final = {
         "metric": "vc_e2e_realtime_factor_48k",
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 50.0, 3),
         **record,
-    }))
+    }
+    try:  # remember the last successful run for stall diagnostics
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(last_good_path, "w") as f:
+            json.dump(final, f)
+    except Exception:
+        pass
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
