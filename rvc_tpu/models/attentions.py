@@ -112,8 +112,13 @@ class MultiHeadAttention(nn.Module):
             emb_rel_v = self.param(
                 "emb_rel_v", rel_init, (n_rel, 2 * w + 1, d)
             )
+            # broadcast the (possibly shared) rel embeddings to one per head
+            # so the einsum contracts d only — summing over n would mix heads
+            # when heads_share=False
+            rel_k_h = jnp.broadcast_to(emb_rel_k, (h,) + emb_rel_k.shape[1:])
+            rel_v_h = jnp.broadcast_to(emb_rel_v, (h,) + emb_rel_v.shape[1:])
             bias_band = jnp.einsum(
-                "bhtd,nrd->bhtr", q * scale, emb_rel_k
+                "bhtd,hrd->bhtr", q * scale, rel_k_h
             )  # [B,H,T,2w+1]
             col = (jax.lax.broadcasted_iota(jnp.int32, (t, 2 * w + 1), 0)
                    + jax.lax.broadcasted_iota(
@@ -147,7 +152,7 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum("bhts,bhsd->bhtd", p_plain, v)
             for r in range(2 * w + 1):
                 out = out + c[..., r : r + 1] * v_sh[r]
-            out = out + jnp.einsum("bhtr,nrd->bhtd", e_biased, emb_rel_v)
+            out = out + jnp.einsum("bhtr,hrd->bhtd", e_biased, rel_v_h)
             out = out / denom
         elif self.window_size is not None:
             # short sequences: the dense skew is cheap at these lengths
@@ -160,14 +165,17 @@ class MultiHeadAttention(nn.Module):
             emb_rel_v = self.param(
                 "emb_rel_v", rel_init, (n_rel, 2 * w + 1, d)
             )
+            # per-head contraction (see banded branch note on heads_share)
             rel_k = _window_rel_embeddings(emb_rel_k, t, w)
-            rel_logits = jnp.einsum("bhtd,nrd->bhtr", q * scale, rel_k)
+            rel_k = jnp.broadcast_to(rel_k, (h,) + rel_k.shape[1:])
+            rel_logits = jnp.einsum("bhtd,hrd->bhtr", q * scale, rel_k)
             scores = scores + _rel_to_abs(rel_logits)
             p_attn = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
             rel_w = _abs_to_rel(p_attn)
             rel_v = _window_rel_embeddings(emb_rel_v, t, w)
-            out = out + jnp.einsum("bhtr,nrd->bhtd", rel_w, rel_v)
+            rel_v = jnp.broadcast_to(rel_v, (h,) + rel_v.shape[1:])
+            out = out + jnp.einsum("bhtr,hrd->bhtd", rel_w, rel_v)
         else:
             p_attn = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)

@@ -21,9 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.stft import stft_magnitude
+from ..ops.stft import _hann_window, frame_signal, stft_magnitude
 from .commons import Conv1d, leaky_relu
-from .discriminators import DiscriminatorP, DiscriminatorS, WNConv2d
+from .discriminators import (DiscriminatorP, DiscriminatorS, WNConv2d,
+                             run_discriminators)
+
+_run_discs = run_discriminators
 
 MPD_V1_PERIODS = (2, 3, 5, 7, 11)
 MPD_V2_PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
@@ -88,72 +91,106 @@ class MultiResolutionDiscriminator(nn.Module):
         return _run_discs(discs, y, y_hat)
 
 
+class WNConv2dDilated(nn.Module):
+    """Weight-normalized 2D conv with time (H) dilation, NHWC layout —
+    NormConv2d(norm='weight_norm') parity (vocoder_blocks/norm2d.py:72-92)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    dilation: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(jnp.square(kernel), axis=(0, 1, 2)) + 1e-12),
+            (self.features,),
+        )
+        norm = jnp.sqrt(
+            jnp.sum(jnp.square(kernel), axis=(0, 1, 2), keepdims=True) + 1e-12)
+        kernel = kernel / norm * g
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(kernel.dtype), kernel,
+            window_strides=self.strides,
+            padding=((self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])),
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
 class DiscriminatorSTFT(nn.Module):
-    """EnCodec-style complex-STFT discriminator (msstftd.py:35-157): real+imag
-    input channels, (3,9) convs with time dilations (1,2,4), stride (1,2)."""
+    """EnCodec-style complex-STFT discriminator (msstftd.py:35-157).
+
+    Reference defaults reproduced exactly: filters_scale=1 keeps EVERY trunk
+    conv at `filters` channels; the first conv is a plain biased Conv2d
+    (NormConv2d default norm='none'); the dilated (3,9) convs stride 2 on
+    frequency with dilations (1,2,4) on time and are weight-normed, followed
+    by a weight-normed (3,3) conv and conv_post. The STFT is center=False
+    (NO padding — torchaudio pad_mode=None), periodic Hann, normalized by
+    the window L2 norm (torchaudio normalized=True). fmap collects the five
+    activated trunk outputs and EXCLUDES conv_post (msstftd.py:139-158).
+    Layout: [B, T_frames, F, C] (NHWC; reference is b c t w)."""
 
     n_fft: int
     hop: int
-    filters: int = 32
+    filters: int = 128
     max_filters: int = 1024
     dilations: Sequence[int] = (1, 2, 4)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
         wav = x[..., 0]
-        pad = self.n_fft // 2
-        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-        window = jnp.asarray(
-            np.hanning(self.n_fft).astype(np.float32)
-        )
-        n_frames = 1 + (wav.shape[1] - self.n_fft) // self.hop
-        idx = (jnp.arange(self.n_fft)[None, :]
-               + self.hop * jnp.arange(n_frames)[:, None])
-        frames = wav[:, idx] * window
-        spec = jnp.fft.rfft(frames, axis=-1)
+        window = jnp.asarray(_hann_window(self.n_fft))
+        win_norm = float(np.sqrt(np.sum(_hann_window(self.n_fft) ** 2)))
+        frames = frame_signal(wav, self.n_fft, self.hop) * window
+        spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1) / win_norm
         h = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [B,T,F,2]
 
         fmap = []
-        h = WNConv2d(self.filters, (3, 9), padding=(1, 4), name="conv_pre")(h)
+        # NormConv2d with no norm= arg -> norm='none': plain biased conv
+        h = nn.Conv(self.filters, (3, 9), padding=((1, 1), (4, 4)),
+                    name="conv_pre")(h)
         h = leaky_relu(h, 0.2)
         fmap.append(h)
-        ch = self.filters
+        ch = min(self.filters, self.max_filters)  # filters_scale=1: constant
         for i, d in enumerate(self.dilations):
-            ch = min(ch * 2, self.max_filters)
-            # dilation on time axis: fold into padding
-            pad_t = ((3 - 1) * d) // 2
-            hh = jax.lax.conv_general_dilated(
-                h,
-                self.param(
-                    f"dil_kernel_{i}",
-                    nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
-                    (3, 9, h.shape[-1], ch),
-                ),
-                window_strides=(1, 2),
-                padding=((pad_t, pad_t), (4, 4)),
-                rhs_dilation=(d, 1),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            h = leaky_relu(hh, 0.2)
+            h = WNConv2dDilated(
+                ch, (3, 9), strides=(1, 2), padding=(d, 4), dilation=(d, 1),
+                name=f"conv_dil{i}",
+            )(h)
+            h = leaky_relu(h, 0.2)
             fmap.append(h)
         h = WNConv2d(ch, (3, 3), padding=(1, 1), name="conv_mid")(h)
         h = leaky_relu(h, 0.2)
         fmap.append(h)
         h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
-        fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
 
 
 class MultiScaleSTFTDiscriminator(nn.Module):
-    """MS-STFT over 5 FFT sizes (msstftd.py:160-207)."""
+    """MS-STFT over the reference's 3 scales, filters=128
+    (msstftd.py:160-207: n_ffts [1024,2048,512], hops [256,512,256])."""
 
-    n_ffts: Sequence[int] = (1024, 2048, 512, 256, 128)
-    hops: Sequence[int] = (256, 512, 128, 64, 32)
+    n_ffts: Sequence[int] = (1024, 2048, 512)
+    hops: Sequence[int] = (256, 512, 256)
+    filters: int = 128
 
     @nn.compact
     def __call__(self, y, y_hat):
         discs = [
-            DiscriminatorSTFT(n, h, name=f"disc_stft{n}")
+            DiscriminatorSTFT(n, h, filters=self.filters, name=f"disc_stft{n}")
             for n, h in zip(self.n_ffts, self.hops)
         ]
         return _run_discs(discs, y, y_hat)
@@ -175,7 +212,8 @@ def cqt_kernels(
         l = min(l, klen)
         start = (klen - l) // 2
         t = np.arange(l)
-        window = np.hanning(l)
+        # periodic Hann (nnAudio create_cqt_kernels: get_window fftbins=True)
+        window = 0.5 - 0.5 * np.cos(2.0 * np.pi * t / l)
         phase = 2 * np.pi * f * (t - l / 2) / sr
         cos_k[i, start : start + l] = (window * np.cos(phase) / l).astype(np.float32)
         sin_k[i, start : start + l] = (window * np.sin(phase) / l).astype(np.float32)
@@ -201,9 +239,7 @@ class DiscriminatorCQT(nn.Module):
         )
         pad = klen // 2
         y = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-        n_frames = 1 + (y.shape[1] - klen) // self.hop
-        idx = jnp.arange(klen)[None, :] + self.hop * jnp.arange(n_frames)[:, None]
-        frames = y[:, idx]  # [B, T, klen]
+        frames = frame_signal(y, klen, self.hop)  # [B, T, klen]
         re = jnp.matmul(frames, jnp.asarray(cos_k).T,
                         preferred_element_type=jnp.float32)
         im = jnp.matmul(frames, jnp.asarray(sin_k).T,
@@ -240,23 +276,138 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
         return _run_discs(discs, y, y_hat)
 
 
+def _spectral_normalize(kernel: jax.Array, n_iters: int = 4) -> jax.Array:
+    """Divide a conv kernel by its largest singular value (torch
+    spectral_norm semantics: W reshaped to [out, -1], sigma via power
+    iteration, gradient flows through W only — u/v detached).
+
+    Deviation (documented): torch keeps a persistent u buffer updated one
+    step per forward; stateless re-iteration from a fixed start is the
+    jit-pure equivalent and converges to the same sigma (geometric rate) —
+    n_iters=4 matches a warmed-up torch buffer to ~1e-3."""
+    out_ch = kernel.shape[-1]
+    w = kernel.reshape(-1, out_ch)  # [in*k, out]
+    v = jnp.full((w.shape[0],), w.shape[0] ** -0.5, kernel.dtype)
+    for _ in range(n_iters):
+        u = w.T @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+        v = w @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = v @ (w @ u)
+    return kernel / (sigma + 1e-12)
+
+
+class SNConv1d(nn.Module):
+    """Spectrally-normalized 1D conv on [B, T, C] (torch spectral_norm
+    parity for the FreGAN first-scale discriminator)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
+            (self.kernel_size, in_ch // self.groups, self.features),
+        )
+        kernel = _spectral_normalize(kernel)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(kernel.dtype), kernel,
+            window_strides=(self.stride,),
+            padding=((self.padding, self.padding),),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return y + bias
+
+
+class FreGANDiscriminatorS(nn.Module):
+    """FreGAN scale discriminator with DWT side branches
+    (fregan_mpd.py:143-188): Haar-DWT levels of the input are projected by
+    1D convs and concatenated into the trunk ALONG TIME after stages 0/1.
+    use_spectral_norm selects spectral_norm for every conv (first scale of
+    the ResWise MSD), else weight_norm."""
+
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        def conv(f, k, s, gr, p, name):
+            if self.use_spectral_norm:
+                return SNConv1d(f, k, stride=s, groups=gr, padding=p,
+                                name=name)
+            return Conv1d(f, k, stride=s, groups=gr, padding=p,
+                          use_weight_norm=True, name=name)
+
+        # DWT side branches (fregan_mpd.py:148-149, 164-171)
+        d1_hi, d1_lo = _haar_dwt(x)
+        x_d1 = conv(128, 15, 1, 1, 7, "dwt_conv1")(
+            jnp.concatenate([d1_hi, d1_lo], axis=-1))
+        d2 = [_haar_dwt(d1_hi), _haar_dwt(d1_lo)]
+        x_d2 = conv(128, 41, 2, 1, 20, "dwt_conv2")(
+            jnp.concatenate([a for pair in d2 for a in pair], axis=-1))
+
+        specs = [
+            # (features, kernel, stride, groups, padding) fregan_mpd.py:151-157
+            (128, 15, 1, 1, 7),
+            (128, 41, 2, 4, 20),
+            (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20),
+            (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        fmap = []
+        h = x
+        side = {0: x_d1, 1: x_d2}
+        for i, (f, k, s, gr, p) in enumerate(specs):
+            h = conv(f, k, s, gr, p, f"conv_{i}")(h)
+            h = leaky_relu(h, 0.1)
+            fmap.append(h)
+            if i in side:
+                # concat the DWT branch along time (fregan_mpd.py:178-181)
+                h = jnp.concatenate([h, side[i]], axis=1)
+        h = conv(1, 3, 1, 1, 1, "conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
 class MultiScaleDiscriminator(nn.Module):
-    """FreGAN-style raw multi-scale: DiscriminatorS on x1/x2/x4 average-pooled
-    waveforms (fregan_mpd.py:190-278)."""
+    """FreGAN ResWiseMultiScaleDiscriminator (fregan_mpd.py:190-278): three
+    scale discriminators fed x, DWT-level-1 (2ch -> 1x1 conv -> 1ch) and
+    DWT-level-2 (4ch -> 1x1 conv -> 1ch); the first uses spectral_norm.
+
+    NOTE: the reference file imports rvc.layers.discriminators.sub.fregan.*,
+    which does not exist in the reference tree (unimportable upstream), so
+    parity here is structural against the FreGAN design it transcribes."""
 
     @nn.compact
     def __call__(self, y, y_hat):
-        def pooled(x, k):
-            if k == 1:
-                return x
-            return nn.avg_pool(x, (k,), strides=(k,), padding="SAME")
+        xy = jnp.concatenate([y, y_hat], axis=0)  # doubled batch per scale
+        hi, lo = _haar_dwt(xy)
+        s1 = Conv1d(1, 1, use_weight_norm=True, name="dwt_conv1")(
+            jnp.concatenate([hi, lo], axis=-1))
+        d2 = [_haar_dwt(hi), _haar_dwt(lo)]
+        s2 = Conv1d(1, 1, use_weight_norm=True, name="dwt_conv2")(
+            jnp.concatenate([a for pair in d2 for a in pair], axis=-1))
 
-        discs = [DiscriminatorS(name=f"disc_s{k}") for k in (1, 2, 4)]
+        discs = [
+            FreGANDiscriminatorS(use_spectral_norm=True, name="disc_s0"),
+            FreGANDiscriminatorS(name="disc_s1"),
+            FreGANDiscriminatorS(name="disc_s2"),
+        ]
         b = y.shape[0]
-        xy = jnp.concatenate([y, y_hat], axis=0)  # one doubled batch/scale
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for d, k in zip(discs, (1, 2, 4)):
-            out, fmap = d(pooled(xy, k))
+        for d, inp in zip(discs, (xy, s1, s2)):
+            out, fmap = d(inp)
             y_d_rs.append(out[:b])
             y_d_gs.append(out[b:])
             fmap_rs.append([f[:b] for f in fmap])
@@ -304,17 +455,17 @@ class ResWiseDiscriminatorP(nn.Module):
 
         # DWT pyramid (levels 1-3), each squeezed back to 1 channel
         d1_hi, d1_lo = _haar_dwt(x)
-        x_d1 = Conv1d(1, 1, name="dwt_conv1")(
+        x_d1 = Conv1d(1, 1, use_weight_norm=True, name="dwt_conv1")(
             jnp.concatenate([d1_hi, d1_lo], axis=-1))
         x_d1 = proj("dwt_proj1", 32, _to_period_2d(x_d1, self.period))
 
         d2 = [_haar_dwt(d1_hi), _haar_dwt(d1_lo)]
-        x_d2 = Conv1d(1, 1, name="dwt_conv2")(
+        x_d2 = Conv1d(1, 1, use_weight_norm=True, name="dwt_conv2")(
             jnp.concatenate([a for pair in d2 for a in pair], axis=-1))
         x_d2 = proj("dwt_proj2", 128, _to_period_2d(x_d2, self.period))
 
         d3 = [_haar_dwt(a) for pair in d2 for a in pair]
-        x_d3 = Conv1d(1, 1, name="dwt_conv3")(
+        x_d3 = Conv1d(1, 1, use_weight_norm=True, name="dwt_conv3")(
             jnp.concatenate([a for pair in d3 for a in pair], axis=-1))
         x_d3 = proj("dwt_proj3", 512, _to_period_2d(x_d3, self.period))
 
@@ -387,11 +538,11 @@ class _MMSDBandMRD(nn.Module):
         hop = int(self.window_length * self.hop_factor)
         pad = self.window_length // 2
         y = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-        window = jnp.asarray(np.hanning(self.window_length).astype(np.float32))
-        n_frames = 1 + (y.shape[1] - self.window_length) // hop
-        idx = (jnp.arange(self.window_length)[None, :]
-               + hop * jnp.arange(n_frames)[:, None])
-        spec = jnp.fft.rfft(y[:, idx] * window, axis=-1)  # [B, T, F]
+        # periodic Hann (descript audiotools uses scipy get_window fftbins
+        # default); hop-aligned framing keeps the backward a pad+add
+        window = jnp.asarray(_hann_window(self.window_length))
+        frames = frame_signal(y, self.window_length, hop) * window
+        spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)  # [B, T, F]
         h = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [B,T,F,2]
 
         n_fft = self.window_length // 2 + 1
@@ -455,23 +606,6 @@ class CombinedDiscriminator(nn.Module):
             fmap_rs += fr
             fmap_gs += fg
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
-
-
-def _run_discs(discs, y, y_hat):
-    # One doubled batch per sub-discriminator instead of separate real/fake
-    # passes: batch-parallel ops make the halves independent (identical up
-    # to fp accumulation order), and halving the op count helps on TPU
-    # where these small convs are launch/relayout-bound, not FLOP-bound.
-    b = y.shape[0]
-    xy = jnp.concatenate([y, y_hat], axis=0)
-    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-    for d in discs:
-        out, fmap = d(xy)
-        y_d_rs.append(out[:b])
-        y_d_gs.append(out[b:])
-        fmap_rs.append([f[:b] for f in fmap])
-        fmap_gs.append([f[b:] for f in fmap])
-    return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
 DISCRIMINATOR_REGISTRY = {

@@ -121,6 +121,26 @@ class DiscriminatorP(nn.Module):
         return x.reshape(b, -1), fmap
 
 
+def run_discriminators(discs, y: jax.Array, y_hat: jax.Array):
+    """Run each sub-discriminator on real+fake as ONE doubled batch.
+
+    Convs are batch-parallel, so results are identical to separate passes
+    (up to fp accumulation order) while the op count halves. Discriminator
+    cost on TPU is per-op overhead (~90 small convs/step, each
+    launch/relayout-bound at tiny spatial dims), not FLOPs. Shared by MPD
+    here and every zoo member in models.custom_discriminators."""
+    b = y.shape[0]
+    xy = jnp.concatenate([y, y_hat], axis=0)
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    for d in discs:
+        out, fmap = d(xy)
+        y_d_rs.append(out[:b])
+        y_d_gs.append(out[b:])
+        fmap_rs.append([f[:b] for f in fmap])
+        fmap_gs.append([f[b:] for f in fmap])
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = PERIODS
 
@@ -130,18 +150,4 @@ class MultiPeriodDiscriminator(nn.Module):
         discs = [DiscriminatorS(name="disc_s")] + [
             DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
         ]
-        # Real and fake ride through each sub-discriminator as ONE doubled
-        # batch: convs are batch-parallel, so results are identical (up to
-        # fp accumulation order) while the op count halves. The MPD cost on
-        # TPU is per-op overhead (~90 small convs/step, each
-        # launch/relayout-bound at these tiny spatial dims), not FLOPs.
-        b = y.shape[0]
-        xy = jnp.concatenate([y, y_hat], axis=0)
-        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for d in discs:
-            out, fmap = d(xy)
-            y_d_rs.append(out[:b])
-            y_d_gs.append(out[b:])
-            fmap_rs.append([f[:b] for f in fmap])
-            fmap_gs.append([f[b:] for f in fmap])
-        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+        return run_discriminators(discs, y, y_hat)

@@ -26,9 +26,15 @@ from .sine import CumsumSineGenerator
 
 
 def linear_resize(x: jax.Array, new_t: int) -> jax.Array:
-    """Linearly resample [B, T, C] along time (align_corners=False)."""
+    """Linearly resample [B, T, C] along time (align_corners=False).
+
+    antialias=False matches torch F.interpolate(mode="linear"), which point-
+    samples with a fixed 2-tap triangle even when downsampling; the jax
+    default (antialias=True) stretches the filter on downsampling and drifts
+    ~1e-3 from the reference on the 480x source-branch decimation.
+    """
     b, _, c = x.shape
-    return jax.image.resize(x, (b, new_t, c), method="linear")
+    return jax.image.resize(x, (b, new_t, c), method="linear", antialias=False)
 
 
 class RefineResBlock(nn.Module):

@@ -121,7 +121,9 @@ class CREPE:
         @jax.jit
         def _salience(params, batch_stats, frames):
             mu = jnp.mean(frames, axis=1, keepdims=True)
-            std = jnp.maximum(jnp.std(frames, axis=1, keepdims=True), 1e-10)
+            # torchcrepe (core.py preprocess) uses torch.std = unbiased ddof=1
+            std = jnp.maximum(
+                jnp.std(frames, axis=1, keepdims=True, ddof=1), 1e-10)
             frames = (frames - mu) / std
             return self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, frames

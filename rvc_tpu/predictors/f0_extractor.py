@@ -53,6 +53,10 @@ def build_predictors(
             from .dsp_f0 import yin_f0_np
 
             out[m] = yin_f0_np
+        else:
+            raise ValueError(
+                f"unknown f0 method {m!r}; expected one of "
+                "rmvpe/fcpe/crepe/crepe-tiny/yin")
     return out
 
 

@@ -56,7 +56,7 @@ class ConformerConvModule(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = self.dim * self.expansion
-        y = nn.LayerNorm(name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         y = nn.Conv(inner * 2, (1,), name="pw1")(y)
         a, b = jnp.split(y, 2, axis=-1)
         y = a * jax.nn.sigmoid(b)  # GLU
@@ -104,7 +104,7 @@ class CFNEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if not self.conv_only:
-            y = nn.LayerNorm(name="norm")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
             x = x + FCPEAttention(self.dim, self.heads, name="attn")(y)
         x = x + ConformerConvModule(self.dim, name="conformer")(x)
         return x
@@ -122,14 +122,14 @@ class CFNaiveMelPE(nn.Module):
     def __call__(self, mel: jax.Array) -> jax.Array:
         """mel [B, T, 128] -> sigmoid latent [B, T, 360]."""
         h = nn.Conv(self.hidden_dims, (3,), padding=1, name="in_conv1")(mel)
-        h = nn.GroupNorm(num_groups=4, name="in_gn")(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="in_gn")(h)
         h = jnp.where(h >= 0, h, 0.01 * h)  # torch LeakyReLU default slope
         h = nn.Conv(self.hidden_dims, (3,), padding=1, name="in_conv2")(h)
         for i in range(self.n_layers):
             h = CFNEncoderLayer(
                 self.hidden_dims, self.n_heads, self.conv_only, name=f"layer_{i}"
             )(h)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         # weight-normed output projection (models.py:85-87): fold g into the
         # kernel on conversion; random init keeps a plain Dense.
         h = nn.Dense(self.out_dims, name="output_proj")(h)

@@ -226,3 +226,51 @@ def test_banded_attention_matches_loops():
     ref = c1(ref.transpose(0, 2, 1, 3).reshape(1, L, 32), "conv_o")
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 1e-5, rel
+
+
+def test_attention_heads_share_false_per_head():
+    """With heads_share=False each head must use ITS OWN rel embedding —
+    the einsum must contract d only, never sum over the head axis."""
+    import jax
+
+    from rvc_tpu.models.attentions import MultiHeadAttention
+
+    rng = np.random.default_rng(1)
+    L, w = 24, 6
+    mha = MultiHeadAttention(32, 32, 2, window_size=w, heads_share=False)
+    x = jnp.asarray(rng.normal(size=(1, L, 32)), jnp.float32)
+    vs = mha.init(jax.random.PRNGKey(0), x, x)
+    assert vs["params"]["emb_rel_k"].shape[0] == 2
+    out = np.asarray(mha.apply(vs, x, x))
+    banded = MultiHeadAttention(
+        32, 32, 2, window_size=w, heads_share=False, banded_min_t=0)
+    out_banded = np.asarray(banded.apply(vs, x, x))
+    assert np.abs(out - out_banded).max() / np.abs(out).max() < 1e-5
+    p = vs["params"]
+
+    def c1(px, name):
+        return px @ np.asarray(p[name]["kernel"])[0] + np.asarray(p[name]["bias"])
+
+    q = c1(np.asarray(x), "conv_q").reshape(1, L, 2, 16).transpose(0, 2, 1, 3)
+    k = c1(np.asarray(x), "conv_k").reshape(1, L, 2, 16).transpose(0, 2, 1, 3)
+    v = c1(np.asarray(x), "conv_v").reshape(1, L, 2, 16).transpose(0, 2, 1, 3)
+    sc = 16 ** -0.5
+    scores = np.einsum("bhtd,bhsd->bhts", q * sc, k)
+    ek = np.asarray(p["emb_rel_k"])  # [H, 2w+1, d]
+    ev = np.asarray(p["emb_rel_v"])
+    for h in range(2):
+        for t in range(L):
+            for s in range(L):
+                if -w <= s - t <= w:
+                    scores[:, h, t, s] += (q[:, h, t] * sc) @ ek[h, s - t + w]
+    pa = np.exp(scores - scores.max(-1, keepdims=True))
+    pa /= pa.sum(-1, keepdims=True)
+    ref = np.einsum("bhts,bhsd->bhtd", pa, v)
+    for h in range(2):
+        for t in range(L):
+            for s in range(L):
+                if -w <= s - t <= w:
+                    ref[:, h, t] += pa[:, h, t, s, None] * ev[h, s - t + w]
+    ref = c1(ref.transpose(0, 2, 1, 3).reshape(1, L, 32), "conv_o")
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel

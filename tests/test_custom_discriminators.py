@@ -65,6 +65,48 @@ def test_msd():
     _check_output(d.apply(vs, _wave(), _wave(1)), 3)
 
 
+def test_msstft_reference_structure():
+    """EnCodec contract (msstftd.py:35-158): constant trunk width
+    (filters_scale=1), plain biased conv_pre (no weight norm), 5 fmap
+    entries (conv_post excluded), weight-normed dilated convs."""
+    d = MultiScaleSTFTDiscriminator(n_ffts=(256,), hops=(64,), filters=16)
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    p = vs["params"]["disc_stft256"]
+    assert "g" not in p["conv_pre"] and "bias" in p["conv_pre"]
+    for i in range(3):
+        assert "g" in p[f"conv_dil{i}"]
+        assert p[f"conv_dil{i}"]["kernel"].shape[-1] == 16  # constant width
+    assert p["conv_mid"]["kernel"].shape[-1] == 16
+    _, _, fmap_rs, _ = d.apply(vs, _wave(), _wave(1))
+    assert len(fmap_rs[0]) == 5  # pre + 3 dilated + mid; post excluded
+
+
+def test_msd_fregan_dwt_structure():
+    """ResWiseMultiScaleDiscriminator (fregan_mpd.py:190-278): shared 1x1
+    DWT projections at the wrapper, per-scale DWT side branches, spectral
+    norm on the first scale (no weight-norm g param)."""
+    d = MultiScaleDiscriminator()
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+    p = vs["params"]
+    assert p["dwt_conv1"]["kernel"].shape == (1, 2, 1)
+    assert p["dwt_conv2"]["kernel"].shape == (1, 4, 1)
+    assert "g" not in p["disc_s0"]["conv_0"]  # spectral norm: no g
+    assert "g" in p["disc_s1"]["conv_0"]      # weight norm
+    assert p["disc_s0"]["dwt_conv1"]["kernel"].shape == (15, 2, 128)
+    assert p["disc_s0"]["dwt_conv2"]["kernel"].shape == (41, 4, 128)
+
+
+def test_spectral_normalize_sigma():
+    """After normalization the largest singular value must be ~1."""
+    from rvc_tpu.models.custom_discriminators import _spectral_normalize
+
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.normal(size=(5, 8, 16)) * 2.0, jnp.float32)
+    kn = np.asarray(_spectral_normalize(k, n_iters=30))
+    sigma = np.linalg.svd(kn.reshape(-1, 16), compute_uv=False)[0]
+    assert abs(sigma - 1.0) < 1e-3, sigma
+
+
 def test_cqt_kernels_shapes():
     cos_k, sin_k, klen = cqt_kernels(16000, 32.7, 48, 12)
     assert cos_k.shape == sin_k.shape == (48, klen)
