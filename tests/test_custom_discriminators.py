@@ -107,6 +107,25 @@ def test_spectral_normalize_sigma():
     assert abs(sigma - 1.0) < 1e-3, sigma
 
 
+def test_mpd_use_spectral_norm():
+    """config.use_spectral_norm selects spectral_norm for every MPD conv
+    (reference discriminators.py:23-29, 58-61) — no weight-norm g params."""
+    from rvc_tpu.models.discriminators import MultiPeriodDiscriminator
+
+    d = MultiPeriodDiscriminator(periods=(2,), use_spectral_norm=True)
+    vs = d.init(jax.random.PRNGKey(0), _wave(), _wave(1))
+
+    def no_g(tree):
+        for k, v in tree.items():
+            assert k != "g"
+            if isinstance(v, dict):
+                no_g(v)
+
+    no_g(vs["params"])
+    out = d.apply(vs, _wave(), _wave(1))
+    _check_output(out, 2)
+
+
 def test_cqt_kernels_shapes():
     cos_k, sin_k, klen = cqt_kernels(16000, 32.7, 48, 12)
     assert cos_k.shape == sin_k.shape == (48, klen)
