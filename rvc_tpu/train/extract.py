@@ -58,6 +58,7 @@ class FeatureExtractor:
         self.batch_size = batch_size
         self.f0_method = f0_method
         self._rmvpe = None
+        self._predict_f0 = None
         if f0_method == "rmvpe":
             from ..predictors.rmvpe import RMVPE
 
@@ -66,6 +67,12 @@ class FeatureExtractor:
                 if rmvpe_ckpt and os.path.exists(rmvpe_ckpt)
                 else RMVPE()
             )
+        elif f0_method in ("fcpe", "crepe", "crepe-tiny"):
+            # the CLI/UI extract contract offers these too (cli.py:172);
+            # per-file predictors, each jitted per length bucket internally
+            from ..predictors.f0_extractor import build_predictors
+
+            self._predict_f0 = build_predictors((f0_method,))[f0_method]
         from ..embedders import load_embedder, resolve_embedder_path
 
         if embedder_ckpt is None:
@@ -85,6 +92,8 @@ class FeatureExtractor:
         if self.f0_method == "rmvpe" and self._rmvpe is not None:
             for i in range(0, len(wavs), self.batch_size):
                 outs.extend(self._rmvpe.infer_batch(wavs[i : i + self.batch_size]))
+        elif self._predict_f0 is not None:
+            outs = [np.asarray(self._predict_f0(w)) for w in wavs]
         elif self.f0_method in ("yin", "pm"):
             from ..predictors.dsp_f0 import yin_f0_np
 

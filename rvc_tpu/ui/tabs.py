@@ -287,8 +287,9 @@ def train_tab(gr, i18n):
                       [pre_out])
 
     with gr.Accordion(i18n("Extract")):
-        f0_method = gr.Radio(["rmvpe", "fcpe", "crepe", "yin"], value="rmvpe",
-                             label=i18n("Pitch extraction algorithm"))
+        f0_method = gr.Radio(
+            ["rmvpe", "fcpe", "crepe", "crepe-tiny", "yin"], value="rmvpe",
+            label=i18n("Pitch extraction algorithm"))
         embedder = gr.Radio(
             ["contentvec", "spin", "chinese-hubert-base",
              "japanese-hubert-base", "korean-hubert-base", "custom"],
@@ -337,13 +338,18 @@ def train_tab(gr, i18n):
             double_d = gr.Checkbox(False, label=i18n("Double D update"))
             balancer = gr.Checkbox(False, label=i18n("Loss balancer"))
             checkpointing = gr.Checkbox(False, label=i18n("Checkpointing"))
+        discriminators = gr.Dropdown(
+            ["mpd", "mpd_v1", "mrd", "msstft", "mssbcqt", "msd",
+             "fregan_mpd", "mmsd"],
+            value=["mpd"], multiselect=True,
+            label=i18n("Discriminators"))
         train_btn = gr.Button(i18n("Start Training"))
         stop_btn = gr.Button(i18n("Stop Training"))
         idx_btn = gr.Button(i18n("Generate Index"))
         train_out = gr.Textbox(label=i18n("Output Information"))
 
         def do_train(name, sr, voc, ep, bs, se, sol, pre, cus, gp, dp, opt,
-                     wu, wue, ms, dd, bal, ckpt):
+                     wu, wue, ms, dd, bal, ckpt, discs):
             from ..cli import main as cli_main
 
             args = [
@@ -358,6 +364,7 @@ def train_tab(gr, i18n):
                 "--double_d_update", str(bool(dd)),
                 "--use_balancer", str(bool(bal)),
                 "--checkpointing", str(bool(ckpt)),
+                "--discriminators", ",".join(discs) if discs else "mpd",
             ]
             if cus and gp:
                 args += ["--g_pretrained_path", gp]
@@ -404,7 +411,7 @@ def train_tab(gr, i18n):
             [model_name, sample_rate, vocoder, epochs, batch, save_every,
              save_only_latest, pretrained, custom_pretrained, g_pretrained,
              d_pretrained, optimizer, warmup, warmup_epochs, multiscale,
-             double_d, balancer, checkpointing],
+             double_d, balancer, checkpointing, discriminators],
             [train_out])
         stop_btn.click(do_stop, [], [train_out])
         idx_btn.click(do_index, [model_name], [train_out])

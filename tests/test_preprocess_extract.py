@@ -107,6 +107,28 @@ def test_extract_and_index_end_to_end(tmp_path):
     assert os.path.exists(index_path)
 
 
+@pytest.mark.slow
+def test_feature_extractor_fcpe_and_crepe_tiny():
+    """Every f0 method the extract CLI offers (cli.py:172) must actually
+    work in FeatureExtractor — fcpe and crepe ride the predictor registry."""
+    from rvc_tpu.train.extract import FeatureExtractor
+
+    sr16 = 16000
+    t = np.arange(int(1.0 * sr16)) / sr16
+    tone = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    for method in ("fcpe", "crepe-tiny"):
+        fe = FeatureExtractor(f0_method=method, batch_size=2)
+        f0s = fe.compute_f0_batch([tone, tone[: sr16 // 2]])
+        assert len(f0s) == 2
+        for w, f0 in zip((tone, tone[: sr16 // 2]), f0s):
+            # plumbing contract only: predictors run RANDOM-INIT here (no
+            # checkpoints in this environment), so values are meaningless —
+            # accuracy is covered by tests/test_torch_parity.py with
+            # converted weights
+            assert len(f0) == len(w) // 160 + 1
+            assert np.isfinite(f0).all() and (f0 >= 0).all(), method
+
+
 def test_spectral_gate_noisereduce_behavior():
     """Stationary spectral gate: bursty harmonic content survives, gaps are
     attenuated, and clean_strength scales the reduction (noisereduce
