@@ -223,58 +223,163 @@ def cqt_kernels(
     return cos_k, sin_k, klen
 
 
+def _sinc_lowpass(cutoff: float, half_width: int) -> np.ndarray:
+    """Hann-windowed sinc lowpass FIR; cutoff as a fraction of Nyquist."""
+    n = np.arange(-half_width, half_width + 1)
+    h = cutoff * np.sinc(cutoff * n)
+    w = 0.5 + 0.5 * np.cos(np.pi * n / half_width)
+    k = (h * w).astype(np.float64)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _fir(x: jax.Array, kernel: np.ndarray, stride: int = 1) -> jax.Array:
+    """[B, T] fixed-coefficient FIR with 'same' centering; differentiable."""
+    k = jnp.asarray(kernel)[:, None, None]
+    pad = len(kernel) // 2
+    y = jax.lax.conv_general_dilated(
+        x[..., None], k, (stride,), ((pad, pad),),
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return y[..., 0]
+
+
+def _upsample2(x: jax.Array) -> jax.Array:
+    """Sinc-interpolated x2 upsample (torchaudio T.Resample(fs, 2*fs)
+    equivalent): zero-stuff then lowpass at the original Nyquist, gain 2."""
+    b, t = x.shape
+    z = jnp.zeros((b, t, 2), x.dtype).at[:, :, 0].set(x).reshape(b, 2 * t)
+    return _fir(z, 2.0 * _sinc_lowpass(0.5, 32))
+
+
+def _downsample2(x: jax.Array) -> jax.Array:
+    """Anti-aliased /2 decimation (the CQT2010 early-downsampling filter)."""
+    return _fir(x, _sinc_lowpass(0.5, 32), stride=2)
+
+
+def multirate_cqt(
+    wav: jax.Array, sr: int, hop: int, n_octaves: int, bins_per_octave: int,
+    fmin: float = 32.70319566257483,
+) -> jax.Array:
+    """Complex CQT via the CQT2010 multirate scheme (nnAudio
+    features.cqt.CQT2010v2, output_format='Complex'): one short kernel bank
+    for the TOP octave, reused on a /2-downsampled signal chain for each
+    lower octave, so the lowest bins never need the O(Q*sr/fmin)-tap direct
+    kernels. Each octave is ONE strided conv with a [klen, 1, 2*bpo] bank —
+    the MXU-friendly form. Requires hop % 2**(n_octaves-1) == 0.
+
+    wav [B, T] at `sr` -> [B, n_frames, n_octaves*bpo, 2] (re, im),
+    bins ascending in frequency, n_frames = T // hop + 1."""
+    assert hop % (1 << (n_octaves - 1)) == 0, (hop, n_octaves)
+    f_top = fmin * (2.0 ** (n_octaves - 1))
+    cos_k, sin_k, klen = cqt_kernels(sr, f_top, bins_per_octave, bins_per_octave)
+    bank = jnp.asarray(
+        np.stack([cos_k, sin_k], axis=1).reshape(2 * bins_per_octave, klen).T
+    )[:, None, :]  # [klen, 1, 2*bpo]
+    n_frames = wav.shape[1] // hop + 1
+
+    octaves = []  # top octave first
+    x = wav
+    for k in range(n_octaves):
+        hop_k = hop >> k
+        pad = klen // 2
+        z = jax.lax.conv_general_dilated(
+            jnp.pad(x, ((0, 0), (pad, pad)))[..., None], bank,
+            (hop_k,), ((0, 0),),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )  # [B, frames_k, 2*bpo]
+        if z.shape[1] < n_frames:
+            z = jnp.pad(z, ((0, 0), (0, n_frames - z.shape[1]), (0, 0)))
+        z = z[:, :n_frames]
+        # bank rows interleave (cos, sin) per bin -> [B, T, bpo, (re, im)]
+        octaves.append(z.reshape(z.shape[0], n_frames, bins_per_octave, 2))
+        if k + 1 < n_octaves:
+            x = _downsample2(x)
+    # ascending frequency = lowest octave (deepest downsample) first
+    return jnp.concatenate(octaves[::-1], axis=2)  # [B, T, n_bins, (re, im)]
+
+
 class DiscriminatorCQT(nn.Module):
-    """CQT-magnitude discriminator (mssbcqtd.py:1-183 simplified: magnitude
-    CQT front instead of learned band-splitting, then the 2D conv trunk)."""
+    """Complex multirate-CQT discriminator (mssbcqtd.py:27-183).
+
+    Reference contract reproduced: input resampled x2, complex CQT over
+    n_octaves*bpo bins, per-octave plain (3,9) pre-convs concatenated along
+    frequency, then the EnCodec-style trunk — plain conv to `filters`,
+    three weight-normed (3,9) convs with time dilation (1,2,4) and stride 2
+    on frequency (filters_scale=1: constant width), a weight-normed (3,3)
+    conv, conv_post; fmap is the five activated trunk outputs, conv_post
+    excluded (forward at mssbcqtd.py:137-183). Deviation: the CQT front is
+    an exact multirate filterbank rather than nnAudio's FFT-domain
+    CQT2010v2 approximation of the same kernels."""
 
     sample_rate: int
-    hop: int = 256
-    fmin: float = 32.7
-    n_bins: int = 84
-    bins_per_octave: int = 12
-    channels: int = 32
+    hop: int = 512
+    n_octaves: int = 9
+    bins_per_octave: int = 24
+    filters: int = 64
+    max_filters: int = 1024
+    dilations: Sequence[int] = (1, 2, 4)
+    normalize_volume: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
-        wav = x[..., 0]
-        cos_k, sin_k, klen = cqt_kernels(
-            self.sample_rate, self.fmin, self.n_bins, self.bins_per_octave
-        )
-        pad = klen // 2
-        y = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-        frames = frame_signal(y, klen, self.hop)  # [B, T, klen]
-        re = jnp.matmul(frames, jnp.asarray(cos_k).T,
-                        preferred_element_type=jnp.float32)
-        im = jnp.matmul(frames, jnp.asarray(sin_k).T,
-                        preferred_element_type=jnp.float32)
-        mag = jnp.sqrt(re**2 + im**2 + 1e-9)
-        h = jnp.log(mag + 1e-5)[..., None]  # [B, T, bins, 1]
+        # fixed-coefficient filterbank front in f32 regardless of the bf16
+        # train policy (constants; precision is free, the trunk recasts)
+        wav = x[..., 0].astype(jnp.float32)
+        if self.normalize_volume:
+            wav = wav - wav.mean(axis=-1, keepdims=True)
+            wav = 0.8 * wav / (jnp.abs(wav).max(axis=-1, keepdims=True) + 1e-9)
+        wav = _upsample2(wav)  # reference resamples fs -> 2*fs
+        z = multirate_cqt(wav, self.sample_rate * 2, self.hop,
+                          self.n_octaves, self.bins_per_octave)
+        z = z.astype(x.dtype)
+
+        bpo = self.bins_per_octave
+        bands = [
+            # NormConv2d with no norm= arg -> plain biased conv
+            nn.Conv(2, (3, 9), padding=((1, 1), (4, 4)),
+                    name=f"conv_pre_oct{i}")(z[:, :, i * bpo:(i + 1) * bpo])
+            for i in range(self.n_octaves)
+        ]
+        h = jnp.concatenate(bands, axis=2)
 
         fmap = []
-        for i, (k, s) in enumerate([((3, 9), (1, 1)), ((3, 9), (1, 2)),
-                                    ((3, 9), (1, 2)), ((3, 3), (1, 1))]):
-            h = WNConv2d(
-                self.channels, k, strides=s,
-                padding=((k[0] - 1) // 2, (k[1] - 1) // 2), name=f"conv_{i}",
-            )(h)
-            h = leaky_relu(h)
-            fmap.append(h)
-        h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
+        h = nn.Conv(self.filters, (3, 9), padding=((1, 1), (4, 4)),
+                    name="conv_in")(h)
+        h = leaky_relu(h, 0.1)
         fmap.append(h)
+        ch = min(self.filters, self.max_filters)  # filters_scale=1
+        for i, d in enumerate(self.dilations):
+            h = WNConv2dDilated(
+                ch, (3, 9), strides=(1, 2), padding=(d, 4), dilation=(d, 1),
+                name=f"conv_dil{i}",
+            )(h)
+            h = leaky_relu(h, 0.1)
+            fmap.append(h)
+        h = WNConv2d(ch, (3, 3), padding=(1, 1), name="conv_mid")(h)
+        h = leaky_relu(h, 0.1)
+        fmap.append(h)
+        h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
         return h.reshape(h.shape[0], -1), fmap
 
 
 class MultiScaleSubbandCQTDiscriminator(nn.Module):
-    """CQT discriminators at three hop scales (mssbcqtd.py:185-230)."""
+    """Three CQT discriminators at the reference's scales
+    (mssbcqtd.py:185-230: hops (512,256,256), 9 octaves,
+    bins/octave (24,36,48), filters=64)."""
 
     sample_rate: int = 48000
-    hops: Sequence[int] = (512, 256, 128)
+    hops: Sequence[int] = (512, 256, 256)
+    n_octaves: Sequence[int] = (9, 9, 9)
+    bins_per_octaves: Sequence[int] = (24, 36, 48)
+    filters: int = 64
 
     @nn.compact
     def __call__(self, y, y_hat):
         discs = [
-            DiscriminatorCQT(self.sample_rate, hop=h, name=f"disc_cqt{h}")
-            for h in self.hops
+            DiscriminatorCQT(self.sample_rate, hop=h, n_octaves=n,
+                             bins_per_octave=b, filters=self.filters,
+                             name=f"disc_cqt{i}")
+            for i, (h, n, b) in enumerate(
+                zip(self.hops, self.n_octaves, self.bins_per_octaves))
         ]
         return _run_discs(discs, y, y_hat)
 

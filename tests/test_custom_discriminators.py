@@ -126,6 +126,48 @@ def test_mpd_use_spectral_norm():
     _check_output(out, 2)
 
 
+def test_multirate_cqt_tone_peak():
+    """The multirate CQT front must localize a pure tone to its bin, with
+    consistent frame counts across the octave/downsample chain."""
+    from rvc_tpu.models.custom_discriminators import multirate_cqt
+
+    sr2, hop, n_oct, bpo = 32000, 512, 9, 12
+    f_tone, fmin = 440.0, 32.70319566257483
+    t = np.arange(sr2) / sr2
+    tone = jnp.asarray(0.5 * np.sin(2 * np.pi * f_tone * t),
+                       jnp.float32)[None]
+    z = np.asarray(multirate_cqt(tone, sr2, hop, n_oct, bpo, fmin))
+    assert z.shape == (1, sr2 // hop + 1, n_oct * bpo, 2)
+    mag = np.sqrt(z[0, :, :, 0] ** 2 + z[0, :, :, 1] ** 2)
+    mid = mag[mag.shape[0] // 2]
+    expected_bin = round(np.log2(f_tone / fmin) * bpo)
+    assert abs(int(np.argmax(mid)) - expected_bin) <= 1, (
+        int(np.argmax(mid)), expected_bin)
+
+
+@pytest.mark.slow
+def test_cqt_discriminator_reference_structure():
+    """mssbcqtd contract (mssbcqtd.py:27-183): per-octave plain pre-convs,
+    constant 64-ch weight-normed dilated trunk, fmap of 5 (post excluded)."""
+    from rvc_tpu.models.custom_discriminators import DiscriminatorCQT
+
+    d = DiscriminatorCQT(16000, hop=512, n_octaves=5, bins_per_octave=12,
+                         filters=16)
+    w = _wave()
+    vs = d.init(jax.random.PRNGKey(0), w)
+    p = vs["params"]
+    for i in range(5):
+        assert "g" not in p[f"conv_pre_oct{i}"]  # plain biased conv
+        assert p[f"conv_pre_oct{i}"]["kernel"].shape == (3, 9, 2, 2)
+    assert "g" not in p["conv_in"]
+    for i in range(3):
+        assert "g" in p[f"conv_dil{i}"]
+        assert p[f"conv_dil{i}"]["kernel"].shape[-1] == 16
+    logits, fmap = d.apply(vs, w)
+    assert len(fmap) == 5 and logits.ndim == 2
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_cqt_kernels_shapes():
     cos_k, sin_k, klen = cqt_kernels(16000, 32.7, 48, 12)
     assert cos_k.shape == sin_k.shape == (48, klen)
