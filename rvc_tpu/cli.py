@@ -32,13 +32,16 @@ def pretrained_selector(vocoder: str, sample_rate: int) -> tuple[str, str]:
     preferred, reference .pth accepted — and returns ("", "") when the
     pair is absent (training then starts from scratch, like the reference).
     """
-    base = os.path.join("models", "pretraineds", vocoder.lower())
     sr_tag = str(sample_rate)[:2]
-    for ext in (".npz", ".pth"):
-        path_g = os.path.join(base, f"f0G{sr_tag}k{ext}")
-        path_d = os.path.join(base, f"f0D{sr_tag}k{ext}")
-        if os.path.exists(path_g) and os.path.exists(path_d):
-            return path_g, path_d
+    # per-vocoder dir first, then the flat layout the prerequisites
+    # instructions describe (utils/downloads.py)
+    for base in (os.path.join("models", "pretraineds", vocoder.lower()),
+                 os.path.join("models", "pretraineds")):
+        for ext in (".npz", ".pth"):
+            path_g = os.path.join(base, f"f0G{sr_tag}k{ext}")
+            path_d = os.path.join(base, f"f0D{sr_tag}k{ext}")
+            if os.path.exists(path_g) and os.path.exists(path_d):
+                return path_g, path_d
     return "", ""
 
 
@@ -106,7 +109,8 @@ def _add_infer_args(p: argparse.ArgumentParser) -> None:
 
 def _collect_infer_kwargs(args) -> dict:
     keys = (
-        "pitch filter_radius index_rate volume_envelope protect f0_method "
+        "pitch filter_radius hop_length index_rate volume_envelope protect "
+        "f0_method "
         "split_audio f0_autotune f0_autotune_strength clean_audio "
         "clean_strength export_format f0_file sid embedder_model "
         "embedder_model_custom formant_shifting formant_qfrency "
@@ -291,7 +295,7 @@ def main(argv=None) -> int:
         run_tts(text, args.tts_voice, args.tts_rate, args.output_tts_path)
         from .infer.converter import VoiceConverter
 
-        VoiceConverter().convert_audio(
+        VoiceConverter(precision=args.precision).convert_audio(
             audio_input_path=args.output_tts_path,
             audio_output_path=args.output_rvc_path,
             **_collect_infer_kwargs(args),

@@ -295,6 +295,41 @@ def convert_torch_hubert(
     return jax.tree.map(jnp.asarray, p)
 
 
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def _read_safetensors(path: str):
+    """Minimal safetensors reader (the wheel isn't baked in): 8-byte LE
+    header length, JSON header {name: {dtype, shape, data_offsets}}, raw
+    little-endian tensor bytes. Returns {name: torch.Tensor}."""
+    import json
+
+    import torch
+
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n))
+        buf = f.read()
+    out = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = meta["data_offsets"]
+        raw = buf[start:end]
+        if meta["dtype"] == "BF16":
+            u16 = np.frombuffer(raw, np.uint16)
+            arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        else:
+            arr = np.frombuffer(raw, _SAFETENSORS_DTYPES[meta["dtype"]])
+        out[name] = torch.from_numpy(
+            arr.reshape(meta["shape"]).copy())
+    return out
+
+
 def load_embedder(
     model_path: Optional[str] = None,
     cfg: HubertConfig = HubertConfig(),
@@ -308,8 +343,12 @@ def load_embedder(
     if model_path:
         import torch
 
-        obj = torch.load(model_path, map_location="cpu", weights_only=True)
-        sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        if model_path.endswith(".safetensors"):
+            sd = _read_safetensors(model_path)
+        else:
+            obj = torch.load(model_path, map_location="cpu",
+                             weights_only=True)
+            sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
         params = convert_torch_hubert(sd, cfg)
     else:
         if rng is None:

@@ -167,6 +167,7 @@ class VoiceConverter:
         pitch: int = 0,
         f0_method: str = "yin",
         filter_radius: float = 3,
+        hop_length: int = 160,
         index_rate: float = 0.0,
         volume_envelope: float = 1.0,
         protect: float = 0.5,
@@ -215,7 +216,7 @@ class VoiceConverter:
             protect=protect, f0_autotune=f0_autotune,
             f0_autotune_strength=f0_autotune_strength, inp_f0=inp_f0,
             predictors=self.get_predictors(f0_method) if self.use_f0 else None,
-            filter_radius=filter_radius,
+            filter_radius=filter_radius, hop_length=int(hop_length),
         )
 
         if split_audio:
@@ -305,6 +306,7 @@ class VoiceConverter:
 
         f0_method = kwargs.get("f0_method", "yin")
         filter_radius = kwargs.get("filter_radius", 3)
+        hop_length = int(kwargs.get("hop_length", 160))
         pitch_shift = kwargs.get("pitch", 0)
         sid = kwargs.get("sid", 0)
         protect = kwargs.get("protect", 0.5)
@@ -333,6 +335,7 @@ class VoiceConverter:
                         f0_autotune=f0_autotune,
                         f0_autotune_strength=f0_autotune_strength,
                         filter_radius=filter_radius,
+                        hop_length=hop_length,
                     )
                 else:
                     pc = pf = None

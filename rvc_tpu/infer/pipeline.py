@@ -589,6 +589,7 @@ class Pipeline:
         f0_autotune_strength: float = 1.0,
         inp_f0: Optional[np.ndarray] = None,
         filter_radius: float = 3,
+        hop_length: int = 160,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """F0 dispatch + autotune + shift + external splice + quantization
         (pipeline.py:322-410). predictors maps method name -> callable.
@@ -615,6 +616,22 @@ class Pipeline:
                         ))
                     except TypeError:
                         f0 = np.asarray(predictors[m](audio_pad))
+                elif m.startswith("crepe"):
+                    # crepe honors the CLI hop_length; the contour is then
+                    # interpolated back to the 10 ms grid like the
+                    # reference (pipeline.py:242-259)
+                    try:
+                        f0 = np.asarray(predictors[m](
+                            audio_pad, hop_length=int(hop_length)))
+                    except TypeError:
+                        f0 = np.asarray(predictors[m](audio_pad))
+                    if int(hop_length) != WINDOW and len(f0) > 1:
+                        src = f0.astype(np.float64)
+                        src[src < 0.001] = np.nan
+                        tgt = np.interp(
+                            np.arange(0, len(src) * p_len, len(src)) / p_len,
+                            np.arange(len(src)), src)
+                        f0 = np.nan_to_num(tgt)
                 else:
                     f0 = np.asarray(predictors[m](audio_pad))
             elif m == "yin":
@@ -760,6 +777,7 @@ class Pipeline:
         predictors: Optional[Dict[str, Any]] = None,
         rng: Optional[jax.Array] = None,
         filter_radius: float = 3,
+        hop_length: int = 160,
     ) -> np.ndarray:
         """Full conversion of a 16 kHz waveform -> tgt_sr waveform
         (pipeline.py:509-694)."""
@@ -807,6 +825,7 @@ class Pipeline:
             pitch, pitchf = self.get_f0(
                 audio_pad, p_len, pitch_shift, f0_method, predictors,
                 f0_autotune, f0_autotune_strength, inp_f0, filter_radius,
+                hop_length=hop_length,
             )
 
         out_segments = []

@@ -62,11 +62,15 @@ class FeatureExtractor:
         if f0_method == "rmvpe":
             from ..predictors.rmvpe import RMVPE
 
-            self._rmvpe = (
-                RMVPE.from_torch_checkpoint(rmvpe_ckpt)
-                if rmvpe_ckpt and os.path.exists(rmvpe_ckpt)
-                else RMVPE()
-            )
+            if rmvpe_ckpt and os.path.exists(rmvpe_ckpt):
+                self._rmvpe = RMVPE.from_torch_checkpoint(rmvpe_ckpt)
+            else:
+                print(
+                    "WARNING: no RMVPE checkpoint found (expected "
+                    f"{rmvpe_ckpt or 'models/predictors/rmvpe.pt'}); "
+                    "using RANDOM weights — extracted f0 will be garbage. "
+                    "Run `prerequisites` or pass --rmvpe_ckpt.")
+                self._rmvpe = RMVPE()
         elif f0_method in ("fcpe", "crepe", "crepe-tiny"):
             # the CLI/UI extract contract offers these too (cli.py:172);
             # per-file predictors, each jitted per length bucket internally

@@ -90,17 +90,10 @@ def model_download_pipeline(model_link: str, output_dir: str = "logs") -> str:
     os.makedirs(output_dir, exist_ok=True)
 
     if local and os.path.exists(local):
-        if local.endswith(".zip"):
-            name = os.path.splitext(os.path.basename(local))[0]
-            dest = os.path.join(output_dir, name)
-            with zipfile.ZipFile(local) as z:
-                z.extractall(dest)
-            print(f"extracted to {dest}")
-            return dest
-        dest = os.path.join(output_dir, os.path.basename(local))
-        shutil.copy2(local, dest)
-        print(f"installed {dest}")
-        return dest
+        msg = install_model_archive(local, output_dir)
+        print(msg)
+        # "extracted to <dest>" / "installed <dest>"
+        return msg.rsplit(" ", 1)[-1]
 
     try:
         import requests

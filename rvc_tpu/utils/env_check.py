@@ -57,7 +57,11 @@ def check_environment(verbose: bool = True) -> Dict[str, Any]:
     from . import native
 
     report["native_audio_engine"] = native.available()
-    report["compile_cache"] = os.path.isdir("/tmp/jax_cache")
+    # the CLI's actual cache location (cli.py _enable_compile_cache)
+    cache_dir = os.environ.get(
+        "RVC_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "rvc_tpu", "xla"))
+    report["compile_cache"] = os.path.isdir(cache_dir)
 
     if verbose:
         for k, v in report.items():

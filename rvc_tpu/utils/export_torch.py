@@ -171,7 +171,7 @@ def _config_list(cfg, sr: int) -> list:
     d, m = cfg.data, cfg.model
     return [
         d.filter_length // 2 + 1,
-        32,
+        cfg.train.segment_size // d.hop_length,  # 40/32/36 for 32/40/48k
         m.inter_channels,
         m.hidden_channels,
         m.filter_channels,

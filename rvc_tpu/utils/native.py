@@ -174,12 +174,21 @@ def flac_read(path: str) -> Optional[tuple]:
                       ctypes.byref(ch), ctypes.byref(bps),
                       ctypes.byref(total)) != 0:
         raise ValueError(f"not a decodable FLAC file: {path}")
-    # total_samples can be 0 (unknown); fall back to a size-based bound
-    cap = total.value if total.value > 0 else len(raw) * 8 // max(bps.value, 1)
-    out = np.empty(cap * ch.value, np.float32)
-    n = lib.flac_decode(_u8ptr(raw), len(raw), _fptr(out), cap)
-    if n < 0:
-        raise ValueError(f"FLAC decode failed: {path}")
+    # total_samples can be 0 (unknown); start from a size-based guess and
+    # grow — FLAC compresses, so bits/bps alone UNDERestimates the frame
+    # count and a fixed cap would silently truncate the tail
+    if total.value > 0:
+        cap = total.value
+    else:
+        cap = max(4096, (len(raw) * 8 // max(bps.value, 1)) * 2)
+    while True:
+        out = np.empty(cap * ch.value, np.float32)
+        n = lib.flac_decode(_u8ptr(raw), len(raw), _fptr(out), cap)
+        if n < 0:
+            raise ValueError(f"FLAC decode failed: {path}")
+        if n < cap or total.value > 0:
+            break
+        cap *= 2  # buffer filled exactly: may be truncated, retry larger
     data = out[: n * ch.value].reshape(n, ch.value)
     return (data[:, 0] if ch.value == 1 else data), int(sr.value)
 

@@ -20,7 +20,13 @@ from .audio_io import write_wav
 def _fallback_tts(text: str, output_path: str, sr: int = 16000) -> None:
     """Deterministic phrase-shaped babble: per-character vowel-like formant
     bursts. Keeps the tts->vc pipeline executable offline."""
-    rng = np.random.default_rng(abs(hash(text)) % 2**31)
+    import hashlib
+
+    # process-stable seed (hash() is salted per process and would break
+    # the documented determinism)
+    seed = int.from_bytes(
+        hashlib.sha256(text.encode("utf-8")).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
     dur_per_char = 0.06
     total = max(0.5, len(text) * dur_per_char)
     t = np.arange(int(total * sr)) / sr
