@@ -91,18 +91,21 @@ class MultiHeadAttention(nn.Module):
         # dense skew's relayouts are ~2.6M-element copies). Pick per length.
         if (self.window_size is not None
                 and t > max(self.window_size, self.banded_min_t)):
-            # Banded-correction softmax: the windowed rel-pos bias touches
-            # only 2w+1 diagonals, so instead of materializing biased
-            # [B,H,T,T] scores through the rel->abs skew (six full-matrix
-            # relayouts per layer — measured 30 ms of a 35 ms encoder), keep
-            # the plain softmax and correct it with [B,H,T,2w+1] band terms:
+            # Banded softmax: the windowed rel-pos bias touches only 2w+1
+            # diagonals, so instead of materializing biased [B,H,T,T] scores
+            # through the rel->abs skew (six full-matrix relayouts per
+            # layer — measured 30 ms of a 35 ms encoder), split the softmax
+            # into an out-of-band dense part (bias is zero there) and an
+            # in-band [B,H,T,2w+1] part carrying the bias:
             #
             #   softmax(S + B) @ (v + ev) =
-            #     [exp(S-lse) @ v + sum_o c_o * v_{t+o} + e^B_band @ ev]
-            #     / (1 + sum_o c_o),
-            #   c_o = exp(S_band + B - lse) - exp(S_band - lse)
+            #     [exp(S_oob - m) @ v + sum_o e_o * v_{t+o} + e_band @ ev]
+            #     / (sum exp(S_oob - m) + sum e_band),
+            #   e_o = exp(S_band + B - m),  m = rowmax over both parts
             #
-            # Algebraically identical to the reference computation.
+            # Algebraically identical to the reference computation, and
+            # free of the 1 + sum(c) cancellation a correction-term form
+            # would hit when the bias strongly suppresses in-band mass.
             w = self.window_size
             n_rel = 1 if self.heads_share else h
             rel_init = nn.initializers.normal(stddev=d**-0.5)
@@ -142,17 +145,24 @@ class MultiHeadAttention(nn.Module):
                     bm[:, None] == 0, -1e4, score_band
                 )
 
-            lse = jax.nn.logsumexp(scores, axis=-1, keepdims=True)
-            p_plain = jnp.exp(scores - lse)
-            e_biased = jnp.exp(score_band + bias_band - lse) * valid
-            e_plain = jnp.exp(score_band - lse) * valid
-            c = e_biased - e_plain
-            denom = 1.0 + jnp.sum(c, axis=-1, keepdims=True)
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            col_i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            in_band = (jnp.abs(row_i - col_i) <= w)[None, None]
+            s_band = jnp.where(valid, score_band + bias_band, -1e30)
+            s_oob = jnp.where(in_band, -1e30, scores)
+            m = jnp.maximum(
+                jnp.max(s_oob, axis=-1, keepdims=True),
+                jnp.max(s_band, axis=-1, keepdims=True),
+            )
+            e_oob = jnp.exp(s_oob - m)            # zero on the band
+            e_band = jnp.exp(s_band - m)          # zero at invalid cols
+            denom = (jnp.sum(e_oob, axis=-1, keepdims=True)
+                     + jnp.sum(e_band, axis=-1, keepdims=True))
 
-            out = jnp.einsum("bhts,bhsd->bhtd", p_plain, v)
+            out = jnp.einsum("bhts,bhsd->bhtd", e_oob, v)
             for r in range(2 * w + 1):
-                out = out + c[..., r : r + 1] * v_sh[r]
-            out = out + jnp.einsum("bhtr,hrd->bhtd", e_biased, rel_v_h)
+                out = out + e_band[..., r : r + 1] * v_sh[r]
+            out = out + jnp.einsum("bhtr,hrd->bhtd", e_band, rel_v_h)
             out = out / denom
         elif self.window_size is not None:
             # short sequences: the dense skew is cheap at these lengths
@@ -201,14 +211,6 @@ class FFN(nn.Module):
             y = jnp.maximum(y, 0.0)
         y = Conv1d(self.out_channels, self.kernel_size, name="conv_2")(y * x_mask)
         return y * x_mask
-
-
-class LayerNorm(nn.Module):
-    channels: int
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.LayerNorm(epsilon=1e-5)(x)
 
 
 class _EncoderBlock(nn.Module):

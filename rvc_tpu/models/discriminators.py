@@ -123,6 +123,10 @@ class DiscriminatorP(nn.Module):
 
         pad = (self.kernel_size - 1) // 2
         fmap = []
+        # the reference applies stride 3 to ALL FIVE convs including the
+        # final 1024->1024 (discriminators.py:113-129) — unlike classic
+        # HiFi-GAN and unlike this repo's _MMSDPeriod/ResWiseDiscriminatorP,
+        # whose own reference files switch to stride 1 at the 5th conv
         for i, f in enumerate((32, 128, 512, 1024, 1024)):
             x = WNConv2d(
                 f, (self.kernel_size, 1), strides=(self.stride, 1),

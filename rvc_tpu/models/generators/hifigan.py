@@ -28,7 +28,6 @@ class HiFiGANGenerator(nn.Module):
     def __call__(
         self, x: jax.Array, g: Optional[jax.Array] = None
     ) -> jax.Array:
-        num_kernels = len(self.resblock_kernel_sizes)
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         if g is not None and self.gin_channels:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)

@@ -118,7 +118,6 @@ class HiFiGANNSFGenerator(nn.Module):
         g: Optional[jax.Array] = None,  # [B, 1, gin_channels]
     ) -> jax.Array:
         upp = math.prod(self.upsample_rates)
-        num_kernels = len(self.resblock_kernel_sizes)
 
         har_source = SourceModuleHnNSF(
             sample_rate=self.sr, harmonic_num=self.harmonic_num,

@@ -131,7 +131,12 @@ class FeatureIndex:
         np.savez(path, vectors=np.asarray(self.vectors))
 
     def search(self, queries, k: int = 8):
-        return knn_search(jnp.asarray(queries), self.vectors, k)
+        q = jnp.asarray(queries)
+        if self.ntotal > TILED_SEARCH_THRESHOLD:
+            # stream the scan: a dense [T, N] distance matrix at production
+            # index sizes (millions of rows) would not fit in HBM
+            return knn_search_tiled(q, self.vectors, k)
+        return knn_search(q, self.vectors, k)
 
     def blend(self, feats, index_rate: float, k: int = 8):
         return retrieve_blend(jnp.asarray(feats), self.vectors, index_rate, k)

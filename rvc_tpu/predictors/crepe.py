@@ -181,6 +181,10 @@ class CREPE:
         )
         f0 = 10.0 * (2.0 ** (cents / 1200.0))
         conf = salience.max(axis=1)
+        # the reference applies NO periodicity gate to crepe output — its
+        # `source[source < 0.001] = nan` (pipeline.py:252, extract.py:67)
+        # thresholds pitch in Hz, which an in-range decode never hits; the
+        # max-salience gate here is the nearest honest equivalent
         f0[conf < 1e-3] = 0.0
         return f0.astype(np.float32)
 

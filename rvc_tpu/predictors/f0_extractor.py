@@ -62,6 +62,14 @@ def build_predictors(
 
 @dataclasses.dataclass
 class F0Extractor:
+    """`sample_rate` is accepted for reference-API compatibility only: the
+    reference (F0Extractor.py:28-37) loads at that rate and immediately
+    resamples to 16 kHz for every predictor, so we load at 16 kHz directly
+    (one resample instead of two). The returned contour's timebase is
+    therefore always HOP/SR = 10 ms, which is what `hop_size_ms` reports
+    (the reference's `hop_size` property reports hop_length/sample_rate,
+    which does not match its own crepe/rmvpe outputs)."""
+
     wav_path: str
     sample_rate: int = SR
     method: str = "rmvpe"

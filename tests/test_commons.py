@@ -228,6 +228,39 @@ def test_banded_attention_matches_loops():
     assert rel < 1e-5, rel
 
 
+def test_banded_attention_suppressive_bias_stable():
+    """When the learned rel-pos bias strongly suppresses the in-band mass
+    (biased partition << plain partition), the banded path must still match
+    the dense skew. A correction-term formulation (out = [p@v + c@v]/(1+sum c))
+    loses most significant bits here; the out-of-band/in-band split must not."""
+    import jax
+
+    from rvc_tpu.models.attentions import MultiHeadAttention
+
+    rng = np.random.default_rng(7)
+    L, w = 64, 10
+    mha = MultiHeadAttention(32, 32, 2, window_size=w)
+    # near-diagonal content attention: keys ~ queries, so plain softmax mass
+    # concentrates inside the band that the bias then suppresses
+    x = jnp.asarray(rng.normal(size=(1, L, 32)) * 3.0, jnp.float32)
+    vs = mha.init(jax.random.PRNGKey(0), x, x)
+    p = jax.tree_util.tree_map(lambda a: a, vs["params"])
+    # force a strongly negative in-band bias: bias_band = (q*scale) @ ek, so
+    # point every rel embedding opposite the mean query direction, scaled up
+    q = (np.asarray(x) @ np.asarray(p["conv_q"]["kernel"])[0]
+         + np.asarray(p["conv_q"]["bias"])).reshape(1, L, 2, 16)
+    qbar = q.mean(axis=(0, 1))                      # [2, 16] per-head mean
+    ek = np.broadcast_to(-8.0 * qbar.mean(0), (1, 2 * w + 1, 16))
+    p["emb_rel_k"] = jnp.asarray(ek, jnp.float32)
+    vs = {"params": p}
+
+    dense = np.asarray(mha.apply(vs, x, x))         # L=64 < 448 -> dense skew
+    banded = MultiHeadAttention(32, 32, 2, window_size=w, banded_min_t=0)
+    out_banded = np.asarray(banded.apply(vs, x, x))
+    rel = np.abs(dense - out_banded).max() / np.abs(dense).max()
+    assert rel < 1e-4, rel
+
+
 def test_attention_heads_share_false_per_head():
     """With heads_share=False each head must use ITS OWN rel embedding —
     the einsum must contract d only, never sum over the head axis."""

@@ -81,6 +81,33 @@ def test_tiled_search_matches_dense():
                                atol=1e-4)
 
 
+def test_feature_index_search_tiles_large_indexes(monkeypatch):
+    """FeatureIndex.search must stream through the tiled scan above the
+    threshold (a dense [T, N] matrix OOMs at production index sizes) and
+    return results identical to the dense path."""
+    import rvc_tpu.ops.retrieval as R
+
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    v = rng.normal(size=(600, 8)).astype(np.float32)
+    idx = FeatureIndex(v)
+    d_ref, i_ref = idx.search(q, k=4)
+    called = {}
+    real_tiled = R.knn_search_tiled
+
+    def spy(*a, **kw):
+        called["tiled"] = True
+        return real_tiled(*a, **kw)
+
+    monkeypatch.setattr(R, "TILED_SEARCH_THRESHOLD", 500)
+    monkeypatch.setattr(R, "knn_search_tiled", spy)
+    d, i = idx.search(q, k=4)
+    assert called.get("tiled")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_tiled_search_non_divisible_tile():
     from rvc_tpu.ops.retrieval import knn_search_tiled
 
