@@ -34,10 +34,22 @@ def make_mesh(
 def make_mesh_for_batch(
     batch_size: int, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
-    """DP mesh over the largest device count that divides the batch size
-    (jit requires the sharded dimension to divide evenly)."""
+    """DP mesh over the largest device count that divides the *global* batch
+    size (jit requires the sharded dimension to divide evenly).
+
+    Multi-process: trimming devices would strand other hosts' chips and break
+    the per-process shard contract of `shard_batch`, so the global batch must
+    divide the full device count exactly.
+    """
     if devices is None:
         devices = jax.devices()
+    if jax.process_count() > 1:
+        if batch_size % len(devices) != 0:
+            raise ValueError(
+                f"multi-host run: global batch {batch_size} must divide "
+                f"evenly over {len(devices)} devices"
+            )
+        return make_mesh(devices)
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
@@ -54,8 +66,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch dict onto the mesh, sharded along batch dim 0."""
+    """Place a host batch dict onto the mesh, sharded along batch dim 0.
+
+    Single-process: a plain sharded device_put. Multi-process: each host's
+    batch is its *local shard* of the global batch (BucketBatcher shards by
+    process_index), so assemble the global array from per-process local data
+    — device_put with a multi-process NamedSharding would instead require the
+    identical global value on every host, silently mis-reading shards.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -45,7 +45,11 @@ def spectrogram_np(
     y = np.pad(wav.astype(np.float32), (pad, pad), mode="reflect")
     n_frames = 1 + (len(y) - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = y[idx] * _hann(win)
+    window = _hann(win)
+    if win < n_fft:  # center-pad the window like ops.stft.stft_magnitude
+        lpad = (n_fft - win) // 2
+        window = np.pad(window, (lpad, n_fft - win - lpad))
+    frames = y[idx] * window
     spec = np.fft.rfft(frames, n=n_fft, axis=-1)
     return np.sqrt(spec.real**2 + spec.imag**2 + 1e-6).astype(np.float32)
 
@@ -244,9 +248,20 @@ class BucketBatcher:
             else:
                 if length > self.boundaries[-1]:
                     self.buckets[-1].append(i)  # cap bucket (frames clamp to 900)
-                elif self.buckets:
-                    self.buckets[0].append(i)
+                # length <= boundaries[0]: drop, like the reference sampler's
+                # _bisect returning -1 (data_utils.py:355-363) — near-empty
+                # zero-padded rows must not reach the discriminator as "real".
         self.bucket_frames = self.boundaries[1:]
+        n_dropped = len(dataset.lengths) - sum(len(b) for b in self.buckets)
+        if n_dropped and not any(self.buckets):
+            # every clip is sub-boundary (toy/smoke datasets): keep them in
+            # bucket 0 rather than yielding an empty epoch
+            for i in range(len(dataset.lengths)):
+                self.buckets[0].append(i)
+            n_dropped = 0
+        if n_dropped:
+            print(f"BucketBatcher: dropped {n_dropped} clip(s) shorter than "
+                  f"{self.boundaries[0]} frames")
 
     def steps_per_epoch(self) -> int:
         total = 0

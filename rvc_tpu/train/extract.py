@@ -160,17 +160,28 @@ def run_extraction(
     fx = FeatureExtractor(f0_method, rmvpe_ckpt, embedder_ckpt, batch_size,
                           embedder_model=embedder_model)
 
-    wavs = [load_audio(os.path.join(wav16_dir, f"{n}.wav"), SR16K) for n in names]
-
-    for n, f0 in zip(names, fx.compute_f0_batch(wavs)):
-        np.save(os.path.join(f0v_dir, f"{n}.wav.npy"), f0, allow_pickle=False)
-        np.save(
-            os.path.join(f0_dir, f"{n}.wav.npy"), coarse_f0_train(f0),
-            allow_pickle=False,
-        )
-
-    for n, emb in zip(names, fx.compute_embeddings_batch(wavs)):
-        np.save(os.path.join(emb_dir, f"{n}.npy"), emb, allow_pickle=False)
+    # Stream in bounded chunks: decoding the whole dataset up front would
+    # hold every float32 wav (plus all results) in host RAM at once — a
+    # 24-hour set is ~5.5 GB before the first np.save. Chunked load/extract/
+    # save bounds memory with no throughput loss (device batching is per
+    # batch_size slice either way).
+    chunk_files = max(1, batch_size) * 8
+    for c0 in range(0, len(names), chunk_files):
+        chunk = names[c0 : c0 + chunk_files]
+        wavs = [
+            load_audio(os.path.join(wav16_dir, f"{n}.wav"), SR16K)
+            for n in chunk
+        ]
+        for n, f0 in zip(chunk, fx.compute_f0_batch(wavs)):
+            np.save(os.path.join(f0v_dir, f"{n}.wav.npy"), f0,
+                    allow_pickle=False)
+            np.save(
+                os.path.join(f0_dir, f"{n}.wav.npy"), coarse_f0_train(f0),
+                allow_pickle=False,
+            )
+        for n, emb in zip(chunk, fx.compute_embeddings_batch(wavs)):
+            np.save(os.path.join(emb_dir, f"{n}.npy"), emb,
+                    allow_pickle=False)
 
     generate_config(exp_dir, sample_rate)
     generate_filelist(exp_dir, include_mutes=include_mutes, extractor=fx)

@@ -114,8 +114,25 @@ def gradient_penalty(
     interp = alpha * real + (1.0 - alpha) * fake
 
     def critic(x):
-        outs, _, _, _ = disc_apply(disc_params, x, x)
-        per = [o.reshape(o.shape[0], -1).mean(axis=1) for o in outs]
+        # disc_apply(real, fake) runs ONE doubled batch internally
+        # (discriminators.run_discriminators), so feed half the interpolates
+        # down each branch: total batch stays B instead of the 2B a naive
+        # disc_apply(x, x) would cost.
+        b = x.shape[0]
+        if b % 2 == 0:
+            outs_r, outs_g, _, _ = disc_apply(
+                disc_params, x[: b // 2], x[b // 2 :]
+            )
+            per = [
+                jnp.concatenate(
+                    [r.reshape(r.shape[0], -1).mean(axis=1),
+                     g.reshape(g.shape[0], -1).mean(axis=1)]
+                )
+                for r, g in zip(outs_r, outs_g)
+            ]
+        else:
+            outs, _, _, _ = disc_apply(disc_params, x, x)
+            per = [o.reshape(o.shape[0], -1).mean(axis=1) for o in outs]
         return jnp.stack(per).mean()
 
     grads = jax.grad(critic)(interp)

@@ -51,10 +51,27 @@ class TrainState(struct.PyTreeNode):
     balancer: Optional[Dict[str, jax.Array]]
     opt_g: optax.OptState
     opt_d: optax.OptState
+    opt_b: Optional[optax.OptState] = None
 
 
 def init_balancer() -> Dict[str, jax.Array]:
     return {k: jnp.asarray(v, jnp.float32) for k, v in BALANCER_INIT.items()}
+
+
+def make_balancer_optimizer(lr_schedule=None, base_lr: float = 1e-4):
+    """AdamW-style transform for the 4 balancer log-sigmas, riding the
+    generator's warmup/decay schedule — the reference trains them in the
+    shared optim_g AdamW param group (train.py:662-665), so a raw SGD step
+    here would have materially different dynamics (no moment normalization).
+    Always schedule-wrapped so the opt-state pytree is identical whether or
+    not a schedule is supplied (checkpoint compatibility)."""
+    from .optimizers import BETAS, EPS
+
+    sched = lr_schedule if lr_schedule is not None else (lambda count: base_lr)
+    return optax.chain(
+        optax.scale_by_adam(b1=BETAS[0], b2=BETAS[1], eps=EPS),
+        optax.scale_by_schedule(lambda count: -sched(count)),
+    )
 
 
 def balancer_total(
@@ -107,6 +124,7 @@ def make_train_step(
     seg_frames = t.segment_size // d.hop_length
     use_bf16 = t.bf16_run
     d_updates = 2 if t.double_d_update else 1
+    tx_b = make_balancer_optimizer(lr_schedule, t.learning_rate)
 
     def g_forward(params_g, batch, ids_slice, rngs):
         out = model_g.apply(
@@ -171,13 +189,13 @@ def make_train_step(
         # ---- Discriminator update(s) -------------------------------------
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
-        def d_loss_fn(params_d):
+        def d_loss_fn(params_d, rng_i):
             y_d_r, y_d_g, _, _ = d_apply(params_d, wave, y_hat_sg)
             if t.use_wgan:
                 # critic loss + unit-gradient penalty (reference
                 # train.py:1064-1071: loss_disc + gp_weight * gp, gp_weight=1)
                 gp = L.gradient_penalty(
-                    rng_gp, d_apply, params_d, wave, y_hat_sg
+                    rng_i, d_apply, params_d, wave, y_hat_sg
                 )
                 return L.wgan_discriminator_loss(y_d_r, y_d_g) + gp
             return L.discriminator_loss(y_d_r, y_d_g)
@@ -185,8 +203,11 @@ def make_train_step(
         params_d, opt_d = state.params_d, state.opt_d
         loss_disc = 0.0
         grad_norm_d = 0.0
-        for _ in range(d_updates):
-            loss_disc, grads_d = jax.value_and_grad(d_loss_fn)(params_d)
+        for i in range(d_updates):
+            # fresh interpolation points per critic update (the reference
+            # redraws alpha each backward; reusing rng would bias the GP)
+            sub_gp = jax.random.fold_in(rng_gp, i)
+            loss_disc, grads_d = jax.value_and_grad(d_loss_fn)(params_d, sub_gp)
             grad_norm_d = global_norm(grads_d)
             updates_d, opt_d = tx_d.update(grads_d, opt_d, params_d)
             params_d = optax.apply_updates(params_d, updates_d)
@@ -267,15 +288,13 @@ def make_train_step(
         params_g = optax.apply_updates(state.params_g, updates_g)
 
         balancer = state.balancer
+        opt_b = state.opt_b
         if balancer is not None:
-            # The balancer's 4 scalars ride the generator's *scheduled* LR,
-            # like the reference's shared optim_g param group
+            # The balancer's 4 scalars ride the same Adam moments + scheduled
+            # LR as the reference's shared optim_g param group
             # (train.py:662-665: same optimizer, same warmup/decay schedule).
-            lr = (lr_schedule(state.step) if lr_schedule is not None
-                  else t.learning_rate)
-            balancer = jax.tree.map(
-                lambda p, g: p - lr * g, balancer, balancer_grads
-            )
+            updates_b, opt_b = tx_b.update(balancer_grads, opt_b, balancer)
+            balancer = optax.apply_updates(balancer, updates_b)
 
         metrics = {
             "loss_disc": loss_disc,
@@ -291,6 +310,7 @@ def make_train_step(
                 balancer=balancer,
                 opt_g=opt_g,
                 opt_d=opt_d,
+                opt_b=opt_b,
             ),
             metrics,
         )
@@ -324,6 +344,9 @@ def create_train_state(
     vars_d = model_d.init(rng_d, wave_slice, wave_slice)
     params_g, params_d = vars_g["params"], vars_d["params"]
     balancer = init_balancer() if cfg.train.use_balancer else None
+    # opt-state structure is schedule-independent (make_balancer_optimizer
+    # always wraps the LR in scale_by_schedule), so init with defaults here.
+    opt_b = make_balancer_optimizer().init(balancer) if balancer is not None else None
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         params_g=params_g,
@@ -331,4 +354,5 @@ def create_train_state(
         balancer=balancer,
         opt_g=tx_g.init(params_g),
         opt_d=tx_d.init(params_d),
+        opt_b=opt_b,
     )

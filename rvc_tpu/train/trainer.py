@@ -186,11 +186,11 @@ class Trainer:
 
         from ..parallel import make_mesh_for_batch, shard_batch, shard_train_step
 
-        self.mesh = make_mesh_for_batch(cfg.train.batch_size)
+        # global batch = per-host batch x hosts (BucketBatcher yields
+        # batch_size rows per host; shard_batch assembles the global array)
+        self.mesh = make_mesh_for_batch(cfg.train.batch_size * n_hosts)
         self.jstep = shard_train_step(self.step_fn, self.mesh)
-        self._shard_batch = lambda b: shard_batch(
-            {k: jnp.asarray(v) for k, v in b.items()}, self.mesh
-        )
+        self._shard_batch = lambda b: shard_batch(b, self.mesh)
 
         self.logger = MetricsLogger(args.exp_dir)
         self.state: Optional[TrainState] = None
@@ -245,6 +245,14 @@ class Trainer:
                 balancer={k: jnp.asarray(v)
                           for k, v in params_g["balancer"].items()}
             )
+            if "balancer_opt" in params_g and self.state.opt_b is not None:
+                try:
+                    self.state = self.state.replace(
+                        opt_b=_restore_opt_state(
+                            self.state.opt_b, params_g["balancer_opt"])
+                    )
+                except Exception as e:
+                    print(f"balancer opt-state restore failed ({e}); fresh")
         if "optimizer" in params_g:
             try:
                 self.state = self.state.replace(
@@ -267,6 +275,17 @@ class Trainer:
                     from ..utils.checkpoints import load_rvc_pth
 
                     params, _ = load_rvc_pth(path)
+                # the auto-selected pretrains are MPD/NSF-shaped; loading one
+                # into a different architecture (e.g. --discriminators mrd)
+                # would swap in a structurally incompatible tree and fail
+                # minutes later inside the compiled step — validate up front
+                cur = getattr(self.state, attr)
+                if _tree_signature(params) != _tree_signature(cur):
+                    print(
+                        f"pretrained {attr} at {path} does not match the "
+                        f"configured architecture; skipping it"
+                    )
+                    continue
                 self.state = self.state.replace(**{attr: params})
                 print(f"loaded pretrained {attr} from {path}")
 
@@ -287,8 +306,11 @@ class Trainer:
         g_tree = {"model": self.state.params_g,
                   "optimizer": _opt_state_arrays(self.state.opt_g)}
         if self.state.balancer is not None:
-            # learned uncertainty log-sigmas must survive resume
+            # learned uncertainty log-sigmas + their Adam moments must
+            # survive resume
             g_tree["balancer"] = self.state.balancer
+            if self.state.opt_b is not None:
+                g_tree["balancer_opt"] = _opt_state_arrays(self.state.opt_b)
         save_checkpoint(
             os.path.join(self.args.exp_dir, f"G_{suffix}.npz"),
             g_tree,
@@ -420,10 +442,12 @@ class Trainer:
             )
             step = step0 + n
             if step % 50 == 0:
-                # one fetch of the running sums yields both the snapshot and
-                # the exact mean over the last window (reference avg_50_cache)
-                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                sums = {k: float(v) for k, v in jax.device_get(sums_dev).items()}
+                # one fetch yields both the snapshot and the running sums —
+                # a single blocking round trip through the tunnel, and the
+                # two dicts are a consistent cut (reference avg_50_cache)
+                host_raw, sums_raw = jax.device_get((metrics, sums_dev))
+                host = {k: float(v) for k, v in host_raw.items()}
+                sums = {k: float(v) for k, v in sums_raw.items()}
                 w = max(n - prev_n, 1)
                 for k, v in sums.items():
                     host[f"avg50/{k}"] = (v - (prev_sums or {}).get(k, 0.0)) / w
@@ -619,31 +643,40 @@ class Trainer:
             except ValueError:
                 pass  # not the main thread
 
-        rng = jax.random.PRNGKey(self.args.seed + jax.process_index())
-        for epoch in range(self.start_epoch, self.args.total_epochs + 1):
-            if interrupted["flag"] or _STOP_EVENT.is_set():
-                self.save(epoch - 1)
-                print(f"emergency checkpoint at epoch {epoch - 1}; exiting")
-                break
-            rng, erng, vrng, rrng = jax.random.split(rng, 4)
-            stats = self.train_epoch(epoch, erng)
-            print(
-                f"epoch {epoch}/{self.args.total_epochs} "
-                f"| {stats.get('epoch_seconds', 0):.1f}s "
-                f"| g={stats.get('avg/loss_gen_all', float('nan')):.3f} "
-                f"| d={stats.get('avg/loss_disc', float('nan')):.3f}"
-            )
-            self._write_heartbeat(epoch)
-            if epoch % self.args.save_every_epoch == 0 or epoch == self.args.total_epochs:
-                self.validate(vrng)
-                try:
-                    self.render_reference(epoch, rrng)
-                except Exception as e:
-                    print(f"reference render skipped ({e})")
-                self.save(epoch)
-                self.logger.flush()
-        for sig, h in old_handlers.items():
-            signal.signal(sig, h)
+        # same seed on every host: the rng is a *replicated* jit input, and
+        # SPMD requires replicated inputs to be identical across processes
+        # (per-example noise still differs per row — it is drawn sharded
+        # inside the step). Per-host data comes from the batcher shard.
+        rng = jax.random.PRNGKey(self.args.seed)
+        try:
+            for epoch in range(self.start_epoch, self.args.total_epochs + 1):
+                if interrupted["flag"] or _STOP_EVENT.is_set():
+                    self.save(epoch - 1)
+                    print(f"emergency checkpoint at epoch {epoch - 1}; exiting")
+                    break
+                rng, erng, vrng, rrng = jax.random.split(rng, 4)
+                stats = self.train_epoch(epoch, erng)
+                print(
+                    f"epoch {epoch}/{self.args.total_epochs} "
+                    f"| {stats.get('epoch_seconds', 0):.1f}s "
+                    f"| g={stats.get('avg/loss_gen_all', float('nan')):.3f} "
+                    f"| d={stats.get('avg/loss_disc', float('nan')):.3f}"
+                )
+                self._write_heartbeat(epoch)
+                if epoch % self.args.save_every_epoch == 0 or epoch == self.args.total_epochs:
+                    self.validate(vrng)
+                    try:
+                        self.render_reference(epoch, rrng)
+                    except Exception as e:
+                        print(f"reference render skipped ({e})")
+                    self.save(epoch)
+                    self.logger.flush()
+        finally:
+            # restore even when train_epoch/save raises — otherwise the
+            # embedding process is left with a handler that only sets a flag
+            # no loop will ever read (uninterruptible process)
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
 
 
 def _prune_orbax_dirs(exp_dir: str, keep_epoch: int) -> None:
@@ -663,6 +696,12 @@ def _opt_state_arrays(opt_state) -> Dict[str, Any]:
     leaves = jax.tree.leaves(opt_state)
     return {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)
             if isinstance(l, (np.ndarray, jnp.ndarray))}
+
+
+def _tree_signature(tree) -> Dict[str, tuple]:
+    """Key-path -> shape map, robust across dict/FrozenDict containers."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(k): tuple(np.shape(v)) for k, v in flat}
 
 
 def _restore_opt_state(template, arrays: Dict[str, Any]):
