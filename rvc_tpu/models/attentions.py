@@ -121,7 +121,8 @@ class MultiHeadAttention(nn.Module):
             rel_k_h = jnp.broadcast_to(emb_rel_k, (h,) + emb_rel_k.shape[1:])
             rel_v_h = jnp.broadcast_to(emb_rel_v, (h,) + emb_rel_v.shape[1:])
             bias_band = jnp.einsum(
-                "bhtd,hrd->bhtr", q * scale, rel_k_h
+                "bhtd,hrd->bhtr", q * scale, rel_k_h,
+                preferred_element_type=jnp.float32,
             )  # [B,H,T,2w+1]
             col = (jax.lax.broadcasted_iota(jnp.int32, (t, 2 * w + 1), 0)
                    + jax.lax.broadcasted_iota(
@@ -131,8 +132,13 @@ class MultiHeadAttention(nn.Module):
             qs = q * scale
             k_sh = [jnp.roll(k, -(r - w), axis=2) for r in range(2 * w + 1)]
             v_sh = [jnp.roll(v, -(r - w), axis=2) for r in range(2 * w + 1)]
+            # f32 logits like the dense `scores` einsum — on the bf16 path
+            # the band carries the softmax mass, so rounding it to bf16
+            # would drift from the dense-skew branch
             score_band = jnp.stack(
-                [jnp.sum(qs * ks, axis=-1) for ks in k_sh], axis=-1
+                [jnp.einsum("bhtd,bhtd->bht", qs, ks,
+                            preferred_element_type=jnp.float32)
+                 for ks in k_sh], axis=-1
             )  # [B,H,T,2w+1]
             if attn_mask is not None:
                 # mirror the dense key masking on the banded scores:
@@ -178,7 +184,8 @@ class MultiHeadAttention(nn.Module):
             # per-head contraction (see banded branch note on heads_share)
             rel_k = _window_rel_embeddings(emb_rel_k, t, w)
             rel_k = jnp.broadcast_to(rel_k, (h,) + rel_k.shape[1:])
-            rel_logits = jnp.einsum("bhtd,hrd->bhtr", q * scale, rel_k)
+            rel_logits = jnp.einsum("bhtd,hrd->bhtr", q * scale, rel_k,
+                                    preferred_element_type=jnp.float32)
             scores = scores + _rel_to_abs(rel_logits)
             p_attn = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)

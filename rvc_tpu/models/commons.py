@@ -69,6 +69,24 @@ def fused_gate(x: jax.Array, hidden: int) -> jax.Array:
     return t * s
 
 
+def source_downsample_geometry(
+    upsample_rates: Sequence[int], i: int
+) -> Tuple[int, int, int]:
+    """(stride, kernel, padding) of the NSF source-downsampling conv at
+    decoder stage i. The stride is the product of the *remaining* upsample
+    rates (the harmonic source lives at full audio rate); the odd-rate
+    kernel rule nk = 2s - s%2, pad = (nk - s)//2 reproduces the reference
+    (hifigan_nsf.py:91-117). Shared by the NSF, MRF and RefineGAN decoders
+    so the rule cannot silently desynchronize between vocoders."""
+    import math
+
+    n_up = len(upsample_rates)
+    stride = math.prod(upsample_rates[i + 1 :]) if i + 1 < n_up else 1
+    nk = 1 if stride == 1 else stride * 2 - stride % 2
+    npad = 0 if stride == 1 else (nk - stride) // 2
+    return stride, nk, npad
+
+
 def _normal_init(std: float):
     def init(key, shape, dtype=jnp.float32):
         return std * jax.random.normal(key, shape, dtype)
@@ -76,18 +94,24 @@ def _normal_init(std: float):
     return init
 
 
-def spectral_normalize(kernel: jax.Array, n_iters: int = 4) -> jax.Array:
+def spectral_normalize(kernel: jax.Array, n_iters: int = 8) -> jax.Array:
     """Divide a conv kernel by its largest singular value (torch
     spectral_norm semantics: W reshaped to [out, -1], sigma via power
     iteration, gradient flows through W only — u/v detached).
 
     Deviation (documented): torch keeps a persistent u buffer updated one
     step per forward; stateless re-iteration from a fixed start is the
-    jit-pure equivalent and converges to the same sigma (geometric rate) —
-    n_iters=4 matches a warmed-up torch buffer to ~1e-3."""
+    jit-pure equivalent and converges to the same sigma (geometric rate).
+    The start is a fixed *pseudo-random* unit vector — an all-constant start
+    can be nearly orthogonal to a mean-free dominant singular vector, which
+    would stall convergence; a random start has overlap w.h.p. for every
+    kernel. n_iters=8 leaves (sigma2/sigma1)^16 of the initial error."""
     out_ch = kernel.shape[-1]
     w = kernel.reshape(-1, out_ch)  # [in*k, out]
-    v = jnp.full((w.shape[0],), w.shape[0] ** -0.5, kernel.dtype)
+    v = jax.random.normal(
+        jax.random.PRNGKey(w.shape[0]), (w.shape[0],), kernel.dtype
+    )
+    v = v / (jnp.linalg.norm(v) + 1e-12)
     for _ in range(n_iters):
         u = w.T @ v
         u = u / (jnp.linalg.norm(u) + 1e-12)
@@ -118,9 +142,6 @@ class Conv1d(nn.Module):
     use_weight_norm: bool = False
     use_spectral_norm: bool = False  # torch spectral_norm parity
     kernel_init_std: Optional[float] = None  # None -> lecun_normal
-    # exact time-fold transform for small-channel convs over long signals
-    # (ops/folded_conv.py): identical math, ~MXU-width contraction
-    auto_fold: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, return_weights: bool = False):
@@ -192,24 +213,6 @@ class Conv1d(nn.Module):
                 bias = self.param("bias", nn.initializers.zeros, (self.features,))
                 y = y + bias
             return y
-        if (self.auto_fold and self.stride == 1 and self.groups == 1
-                and k % 2 == 1
-                and pad == (k * self.dilation - self.dilation) // 2
-                and max(in_ch, self.features) <= 64
-                and x.shape[1] >= 32768):
-            fold = 128 // max(in_ch, self.features)
-            while fold > 1 and x.shape[1] % fold:
-                fold //= 2
-            if fold > 1:
-                from ..ops.folded_conv import folded_conv1d
-
-                y = folded_conv1d(x, kernel, self.dilation, fold)
-                if self.use_bias:
-                    bias = self.param(
-                        "bias", nn.initializers.zeros, (self.features,)
-                    )
-                    y = y + bias
-                return y
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -285,12 +288,16 @@ class ConvTranspose1d(nn.Module):
                     )
                 wq.append(jnp.concatenate(cols, axis=-1))  # [in, s*out]
             out_i = t + nq - 1
+            # accumulate the nq partial sums in f32 and cast ONCE at the end
+            # — downcasting each partial to bf16 before the next add would
+            # discard the f32 accumulation the matmuls request
             z = 0
             for q in range(nq):
                 xq = jnp.pad(x, ((0, 0), (q, nq - 1 - q), (0, 0)))
                 z = z + jnp.matmul(
                     xq, wq[q], preferred_element_type=jnp.float32
-                ).astype(kernel.dtype)
+                )
+            z = z.astype(kernel.dtype)
             y_full = z.reshape(b, out_i * s, self.features)
             y_full = y_full[:, : (t - 1) * s + k]
             out_len = (t - 1) * s - 2 * self.padding + k + self.output_padding

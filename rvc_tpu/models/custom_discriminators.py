@@ -27,7 +27,7 @@ from .commons import Conv1d, leaky_relu, spectral_normalize
 # back-compat alias (tests import the underscored name)
 _spectral_normalize = spectral_normalize
 from .discriminators import (DiscriminatorP, DiscriminatorS, WNConv2d,
-                             run_discriminators)
+                             run_discriminators, run_discriminators_doubled)
 
 _run_discs = run_discriminators
 
@@ -60,8 +60,11 @@ class DiscriminatorR(nn.Module):
         wav = x[..., 0]  # [B, T]
         pad = (self.n_fft - self.hop) // 2
         wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        # tiny eps: d(sqrt(re^2+im^2))/dre is 0/0 = NaN at exactly-zero bins
+        # (digital silence), which poisons gradient-penalty input gradients;
+        # the 1e-6 magnitude floor is far below any parity tolerance
         mag = stft_magnitude(wav, self.n_fft, self.hop, self.win, center=False,
-                             eps=0.0)
+                             eps=1e-12)
         h = mag[..., None]  # [B, frames, bins, 1]
         fmap = []
         specs = [((3, 9), (1, 1)), ((3, 9), (1, 2)), ((3, 9), (1, 2)),
@@ -458,15 +461,7 @@ class MultiScaleDiscriminator(nn.Module):
             FreGANDiscriminatorS(name="disc_s1"),
             FreGANDiscriminatorS(name="disc_s2"),
         ]
-        b = y.shape[0]
-        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for d, inp in zip(discs, (xy, s1, s2)):
-            out, fmap = d(inp)
-            y_d_rs.append(out[:b])
-            y_d_gs.append(out[b:])
-            fmap_rs.append([f[:b] for f in fmap])
-            fmap_gs.append([f[b:] for f in fmap])
-        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+        return run_discriminators_doubled(discs, (xy, s1, s2), y.shape[0])
 
 
 def _haar_dwt(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -150,11 +150,19 @@ def run_discriminators(discs, y: jax.Array, y_hat: jax.Array):
     cost on TPU is per-op overhead (~90 small convs/step, each
     launch/relayout-bound at tiny spatial dims), not FLOPs. Shared by MPD
     here and every zoo member in models.custom_discriminators."""
-    b = y.shape[0]
     xy = jnp.concatenate([y, y_hat], axis=0)
+    return run_discriminators_doubled(discs, [xy] * len(discs), y.shape[0])
+
+
+def run_discriminators_doubled(discs, inputs, b: int):
+    """Run each sub-discriminator on its own already-doubled [2B, ...] input
+    and split real/fake halves. The single place that encodes the
+    real-first/fake-second batch convention (see run_discriminators); used
+    directly by zoo members whose per-disc inputs differ (e.g. the DWT
+    scales of MultiScaleDiscriminator)."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-    for d in discs:
-        out, fmap = d(xy)
+    for d, inp in zip(discs, inputs):
+        out, fmap = d(inp)
         y_d_rs.append(out[:b])
         y_d_gs.append(out[b:])
         fmap_rs.append([f[:b] for f in fmap])

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..commons import Conv1d, ConvTranspose1d, leaky_relu
+from ..commons import (Conv1d, ConvTranspose1d, leaky_relu,
+                       source_downsample_geometry)
 from .sine import CumsumSineGenerator
 
 
@@ -137,10 +138,6 @@ class HiFiGANMRFGenerator(nn.Module):
         if g is not None and self.gin_channels:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
 
-        stride_f0s = [
-            math.prod(self.upsample_rates[i + 1 :]) if i + 1 < n_up else 1
-            for i in range(n_up)
-        ]
 
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
@@ -159,9 +156,7 @@ class HiFiGANMRFGenerator(nn.Module):
                 name=f"ups_{i}",
             )(x)
 
-            stride = stride_f0s[i]
-            nk = 1 if stride == 1 else stride * 2 - stride % 2
-            npad = 0 if stride == 1 else (nk - stride) // 2
+            stride, nk, npad = source_downsample_geometry(self.upsample_rates, i)
             x = x + Conv1d(
                 ch, nk, stride=stride, padding=npad, name=f"noise_convs_{i}"
             )(har_source)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..commons import LRELU_SLOPE, Conv1d, ConvTranspose1d, ResBlock, leaky_relu
+from ..commons import (LRELU_SLOPE, Conv1d, ConvTranspose1d, ResBlock,
+                       leaky_relu, source_downsample_geometry)
 from .sine import SineGenerator
 
 
@@ -132,10 +133,6 @@ class HiFiGANNSFGenerator(nn.Module):
         channels = [self.upsample_initial_channel // (2 ** (i + 1)) for i in range(n_up)]
         # stride of the source-downsampling conv at stage i = product of
         # remaining upsample rates (the source is at full audio rate).
-        stride_f0s = [
-            math.prod(self.upsample_rates[i + 1 :]) if i + 1 < n_up else 1
-            for i in range(n_up)
-        ]
 
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             x = leaky_relu(x)
@@ -154,9 +151,7 @@ class HiFiGANNSFGenerator(nn.Module):
                 name=f"ups_{i}",
             )(x)
 
-            stride = stride_f0s[i]
-            nk = 1 if stride == 1 else stride * 2 - stride % 2
-            npad = 0 if stride == 1 else (nk - stride) // 2
+            stride, nk, npad = source_downsample_geometry(self.upsample_rates, i)
             noise = Conv1d(
                 channels[i],
                 nk,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..commons import Conv1d, leaky_relu
+from ..commons import Conv1d, leaky_relu, source_downsample_geometry
 from .sine import CumsumSineGenerator
 
 
@@ -180,18 +180,12 @@ class RefineGANGenerator(nn.Module):
             mel = mel + Conv1d(channels // 2, 1, name="cond")(g)
         x = jnp.concatenate([mel, x], axis=-1)  # [B, T_frames, channels]
 
-        stride_f0s = [
-            math.prod(self.upsample_rates[i + 1 :]) if i + 1 < n_up else 1
-            for i in range(n_up)
-        ]
 
         for i, rate in enumerate(self.upsample_rates):
             x = leaky_relu(x, self.slope)
             x = linear_resize(x, x.shape[1] * rate)
 
-            stride = stride_f0s[i]
-            nk = 1 if stride == 1 else stride * 2 - stride % 2
-            npad = 0 if stride == 1 else (nk - stride) // 2
+            stride, nk, npad = source_downsample_geometry(self.upsample_rates, i)
             down = Conv1d(
                 self.upsample_initial_channel // (2 ** (i + 2)),
                 nk,

@@ -46,7 +46,10 @@ class SineGenerator(nn.Module):
         phase = phase * harmonic_scale
 
         if n_waves > 1 and not self.zero_noise:
-            rand_phase = jax.random.uniform(self.make_rng("noise"), (1, 1, n_waves))
+            # per-sample random harmonic phase (reference SineGen draws
+            # rand_ini per batch element — sharing one draw would correlate
+            # the excitation across the whole batch)
+            rand_phase = jax.random.uniform(self.make_rng("noise"), (b, 1, n_waves))
             rand_phase = rand_phase.at[..., 0].set(0.0)  # fundamental keeps phase 0
             phase = phase + rand_phase
 

@@ -86,6 +86,23 @@ def knn_search_tiled(
 
 # index row count above which retrieval switches to the streaming kernel
 TILED_SEARCH_THRESHOLD = 200_000
+# cap on dense [T, N] (or streamed [T, tile]) distance-matrix elements:
+# 2^27 f32 = 512 MB of HBM scratch. The dense gate must consider the QUERY
+# count too — batched conversion flattens thousands of frames into one call,
+# and T * N alone can be multi-GB even under the row threshold.
+DENSE_ELEMS_LIMIT = 1 << 27
+MIN_TILE = 4096
+
+
+def _search_dispatch(queries: jax.Array, vectors: jax.Array, k: int):
+    """Route to the dense or streaming kernel by peak-memory estimate."""
+    t = int(queries.shape[0])
+    n = int(vectors.shape[0])
+    if n <= TILED_SEARCH_THRESHOLD and t * n <= DENSE_ELEMS_LIMIT:
+        return knn_search(queries, vectors, k)
+    # bound the streamed block so T * tile also respects the limit
+    tile = int(min(65536, max(MIN_TILE, DENSE_ELEMS_LIMIT // max(t, 1))))
+    return knn_search_tiled(queries, vectors, k, tile=tile)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -103,10 +120,7 @@ def retrieve_blend(
     (reference pipeline.py:497-507 numerics). Large indexes stream through
     the tiled kernel to bound memory.
     """
-    if vectors.shape[0] > TILED_SEARCH_THRESHOLD:
-        d2, idx = knn_search_tiled(feats, vectors, k)
-    else:
-        d2, idx = knn_search(feats, vectors, k)
+    d2, idx = _search_dispatch(feats, vectors, k)
     w = 1.0 / jnp.square(jnp.maximum(d2, 1e-12))
     w = w / jnp.sum(w, axis=1, keepdims=True)
     gathered = vectors[idx]                                   # [T, k, D]
@@ -131,12 +145,10 @@ class FeatureIndex:
         np.savez(path, vectors=np.asarray(self.vectors))
 
     def search(self, queries, k: int = 8):
-        q = jnp.asarray(queries)
-        if self.ntotal > TILED_SEARCH_THRESHOLD:
-            # stream the scan: a dense [T, N] distance matrix at production
-            # index sizes (millions of rows) would not fit in HBM
-            return knn_search_tiled(q, self.vectors, k)
-        return knn_search(q, self.vectors, k)
+        # dispatch by peak-memory estimate: a dense [T, N] distance matrix
+        # at production index sizes (millions of rows) or batched query
+        # counts would not fit in HBM
+        return _search_dispatch(jnp.asarray(queries), self.vectors, k)
 
     def blend(self, feats, index_rate: float, k: int = 8):
         return retrieve_blend(jnp.asarray(feats), self.vectors, index_rate, k)

@@ -9,6 +9,13 @@ grid steps — one kernel launch, no [T, N] materialization, no intermediate
 HBM traffic.
 
 Falls back transparently off-TPU (interpret mode in tests).
+
+STATUS: exactness-validated alternative, NOT wired into the production
+retrieval path. FeatureIndex/retrieve_blend route through ops/retrieval.py's
+dense/tiled XLA kernels, whose memory-bounded dispatch covers production
+sizes; standalone kernel timings through the remote tunnel were too noisy to
+prove a win (see docs/PERFORMANCE.md), so this stays opt-in for future
+on-device profiling rather than a default.
 """
 
 from __future__ import annotations
