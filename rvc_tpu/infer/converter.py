@@ -25,12 +25,12 @@ from .pipeline import Pipeline, PipelineConfig
 from .postprocess import apply_post_process
 
 
+from ..predictors.f0_extractor import DEFAULT_CKPTS as _DEFAULT_PREDICTOR_CKPTS
+
+
 class VoiceConverter:
-    PREDICTOR_CKPTS = {
-        "rmvpe": os.path.join("models", "predictors", "rmvpe.pt"),
-        "fcpe": os.path.join("models", "predictors", "fcpe.pt"),
-        "crepe": os.path.join("models", "predictors", "crepe.pt"),
-    }
+    # single source of truth for staged predictor checkpoints
+    PREDICTOR_CKPTS = dict(_DEFAULT_PREDICTOR_CKPTS)
 
     def __init__(self, precision: Optional[str] = None):
         """precision: "bf16" (default, mirrors the reference's fp16-first

@@ -21,11 +21,10 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.stft import frame_signal
+from .cents import CENTS_MAPPING, N_CLASS, weighted_cents_decode
 
 SR = 16000
 WINDOW = 1024
-N_CLASS = 360
-CENTS_MAPPING = 20.0 * np.arange(N_CLASS) + 1997.3794084376191
 
 # capacity: full = 32x multiplier, tiny = 4x (crepe paper / torchcrepe)
 CAPACITIES = {"full": 32, "tiny": 4}
@@ -62,24 +61,26 @@ class CrepeModel(nn.Module):
 
 def _decode_weighted(salience: np.ndarray) -> np.ndarray:
     """Weighted local average around argmax (torchcrepe weighted_argmax)."""
-    center = salience.argmax(axis=1)
-    padded = np.pad(salience, ((0, 0), (4, 4)))
-    cents = np.pad(CENTS_MAPPING, (4, 4))
-    idx = center[:, None] + np.arange(9)[None, :]
-    w = np.take_along_axis(padded, idx, axis=1)
-    c = cents[idx]
-    return (w * c).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-12)
+    return weighted_cents_decode(salience, salience.argmax(axis=1))
+
+
+# triangular transition prior: zero outside |bin distance| < 12 (torchcrepe)
+_VITERBI_W = 12
 
 
 def _decode_viterbi(salience: np.ndarray) -> np.ndarray:
     """Viterbi smoothing over pitch bins (torchcrepe default decoder):
-    gaussian transition prior over bin distance, uniform self/step balance."""
+    triangular transition prior over bin distance, zero outside the
+    +/-11-bin band — so the DP update is banded: 23 shifted adds of length
+    360 per frame instead of a dense 360x360 matrix (~14x less work, and
+    the -inf out-of-band log-prob is exactly librosa/torchcrepe semantics
+    rather than the log(eps) a dense `trans + eps` would give)."""
     t, n = salience.shape
-    # transition matrix: prefer small pitch movement
-    d = np.arange(n)
-    trans = np.maximum(12 - np.abs(d[:, None] - d[None, :]), 0).astype(np.float64)
-    trans = trans / trans.sum(axis=1, keepdims=True)
-    log_trans = np.log(trans + 1e-12)
+    offs = np.arange(-(_VITERBI_W - 1), _VITERBI_W)          # -11..11
+    w_band = (_VITERBI_W - np.abs(offs)).astype(np.float64)  # 1..12..1
+    logw = np.log(w_band)
+    # per-source-row normalizer: sum of in-range triangular weights
+    log_rowsum = np.log(np.convolve(np.ones(n), w_band, mode="same"))
 
     obs = salience.astype(np.float64)
     obs = obs / np.maximum(obs.sum(axis=1, keepdims=True), 1e-12)
@@ -87,21 +88,24 @@ def _decode_viterbi(salience: np.ndarray) -> np.ndarray:
 
     dp = np.full(n, np.log(1.0 / n)) + log_obs[0]
     back = np.zeros((t, n), np.int32)
+    cols = np.arange(n)
     for i in range(1, t):
-        scores = dp[:, None] + log_trans
-        back[i] = scores.argmax(axis=0)
-        dp = scores.max(axis=0) + log_obs[i]
+        a = dp - log_rowsum  # source score incl. row normalization
+        cand = np.full((len(offs), n), -np.inf)
+        for oi, o in enumerate(offs):  # dest j <- source j - o
+            if o >= 0:
+                cand[oi, o:] = a[: n - o] + logw[oi]
+            else:
+                cand[oi, : n + o] = a[-o:] + logw[oi]
+        best = cand.argmax(axis=0)
+        dp = cand[best, cols] + log_obs[i]
+        back[i] = cols - offs[best]
     path = np.zeros(t, np.int32)
     path[-1] = dp.argmax()
     for i in range(t - 2, -1, -1):
         path[i] = back[i + 1, path[i + 1]]
     # refine with weighted average around the viterbi bin
-    padded = np.pad(salience, ((0, 0), (4, 4)))
-    cents_pad = np.pad(CENTS_MAPPING, (4, 4))
-    idx = path[:, None] + np.arange(9)[None, :]
-    w = np.take_along_axis(padded, idx, axis=1)
-    c = cents_pad[idx]
-    return (w * c).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-12)
+    return weighted_cents_decode(salience, path)
 
 
 class CREPE:
@@ -136,8 +140,23 @@ class CREPE:
         import torch
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
+        # capacity is determined by the weights, not the caller: the
+        # classifier in_features is 64*mult (full=2048, tiny=256). One
+        # shared crepe.pt path serves both "crepe" and "crepe-tiny", so a
+        # mismatched request would otherwise crash with a shape error
+        # mid-inference.
+        in_features = int(sd["classifier.weight"].shape[1])
+        detected = {64 * m: c for c, m in CAPACITIES.items()}.get(in_features)
+        if detected is None:
+            raise ValueError(
+                f"unrecognized crepe checkpoint ({in_features} classifier "
+                f"inputs; expected {sorted(64 * m for m in CAPACITIES.values())})"
+            )
+        if detected != capacity:
+            print(f"crepe checkpoint at {path} is capacity {detected!r}; "
+                  f"using it instead of the requested {capacity!r}")
         params, stats = convert_torchcrepe(sd)
-        return cls(capacity, params, stats)
+        return cls(detected, params, stats)
 
     def predict(
         self,

@@ -17,6 +17,30 @@ from ..utils.audio_io import load_audio
 SR = 16000
 HOP = 160
 
+# canonical staged-checkpoint locations (reference: rvc/models/predictors/)
+DEFAULT_CKPTS = {
+    "rmvpe": "models/predictors/rmvpe.pt",
+    "fcpe": "models/predictors/fcpe.pt",
+    "crepe": "models/predictors/crepe.pt",
+}
+
+
+def _resolve_ckpt(explicit: Optional[str], kind: str) -> Optional[str]:
+    """Explicit path if it exists, else the canonical staged path, else None
+    (random-init fallback keeps pipelines runnable offline, but loudly)."""
+    import os
+
+    for cand in (explicit, DEFAULT_CKPTS.get(kind)):
+        if cand and os.path.exists(cand):
+            return cand
+    print(
+        f"WARNING: no {kind} checkpoint found "
+        f"(looked for {explicit or DEFAULT_CKPTS.get(kind)}); "
+        f"using RANDOM-INIT weights — f0 output will be garbage. "
+        f"Run `prerequisites` or stage the file under models/predictors/."
+    )
+    return None
+
 
 def build_predictors(
     f0_methods=("rmvpe",),
@@ -24,30 +48,29 @@ def build_predictors(
     fcpe_ckpt: Optional[str] = None,
     crepe_ckpt: Optional[str] = None,
 ) -> Dict[str, Callable[[np.ndarray], np.ndarray]]:
-    """Instantiate requested predictors as audio->f0 callables; checkpoints
-    are optional (random-init fallback keeps pipelines runnable offline)."""
-    import os
-
+    """Instantiate requested predictors as audio->f0 callables. Checkpoint
+    paths default to the canonical models/predictors/ locations; a missing
+    checkpoint falls back to random init with a loud warning."""
     out: Dict[str, Callable] = {}
     for m in f0_methods:
         if m == "rmvpe":
             from .rmvpe import RMVPE
 
-            mdl = (RMVPE.from_torch_checkpoint(rmvpe_ckpt)
-                   if rmvpe_ckpt and os.path.exists(rmvpe_ckpt) else RMVPE())
+            ck = _resolve_ckpt(rmvpe_ckpt, "rmvpe")
+            mdl = RMVPE.from_torch_checkpoint(ck) if ck else RMVPE()
             out[m] = mdl.infer_from_audio
         elif m == "fcpe":
             from .fcpe import FCPE
 
-            mdl = (FCPE.from_torch_checkpoint(fcpe_ckpt)
-                   if fcpe_ckpt and os.path.exists(fcpe_ckpt) else FCPE())
+            ck = _resolve_ckpt(fcpe_ckpt, "fcpe")
+            mdl = FCPE.from_torch_checkpoint(ck) if ck else FCPE()
             out[m] = mdl.compute_f0
         elif m in ("crepe", "crepe-tiny"):
             from .crepe import CREPE
 
             cap = "tiny" if m.endswith("tiny") else "full"
-            mdl = (CREPE.from_torch_checkpoint(crepe_ckpt, cap)
-                   if crepe_ckpt and os.path.exists(crepe_ckpt) else CREPE(cap))
+            ck = _resolve_ckpt(crepe_ckpt, "crepe")
+            mdl = CREPE.from_torch_checkpoint(ck, cap) if ck else CREPE(cap)
             out[m] = mdl.predict
         elif m == "yin":
             from .dsp_f0 import yin_f0_np

@@ -208,23 +208,17 @@ def rmvpe_mel(audio: jax.Array) -> jax.Array:
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
-CENTS_MAPPING = 20.0 * np.arange(N_CLASS) + 1997.3794084376191
+from .cents import CENTS_MAPPING  # noqa: E402  (shared with CREPE)
 
 
 def decode_salience(salience: jax.Array, thred: float = 0.03) -> jax.Array:
     """[T, 360] salience -> [T] f0 Hz via 9-tap local average around argmax
-    (vectorized re-derivation of RMVPE.py:459-512)."""
-    t = salience.shape[0]
-    padded = jnp.pad(salience, ((0, 0), (4, 4)))
-    cents = jnp.asarray(np.pad(CENTS_MAPPING, (4, 4)), jnp.float32)
-    center = jnp.argmax(salience, axis=1) + 4  # [T]
+    (vectorized re-derivation of RMVPE.py:459-512; kernel shared with the
+    CREPE decode in predictors/cents.py)."""
+    from .cents import weighted_cents_decode
 
-    offsets = jnp.arange(-4, 5)
-    idx = center[:, None] + offsets[None, :]            # [T, 9]
-    tap_sal = jnp.take_along_axis(padded, idx, axis=1)  # [T, 9]
-    tap_cents = cents[idx]
-    avg_cents = jnp.sum(tap_sal * tap_cents, axis=1) / jnp.maximum(
-        jnp.sum(tap_sal, axis=1), 1e-12
+    avg_cents = weighted_cents_decode(
+        salience, jnp.argmax(salience, axis=1), xp=jnp, cents_dtype=np.float32
     )
     maxx = jnp.max(salience, axis=1)
     avg_cents = jnp.where(maxx > thred, avg_cents, 0.0)

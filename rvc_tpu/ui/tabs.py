@@ -495,7 +495,7 @@ def download_tab(gr, i18n):
             return "no file"
         path = f if isinstance(f, str) else getattr(f, "name", str(f))
         try:
-            return install_model_archive(path)
+            return f"installed {install_model_archive(path)}"
         except Exception as e:
             return str(e)
 

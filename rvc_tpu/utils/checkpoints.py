@@ -425,13 +425,44 @@ def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     }
     cfg_list = meta.get("config") or []
     # config layout (extract_model.py:61-80): [10]=resblock_kernel_sizes,
-    # [12]=upsample_rates
-    n_ups = (len(cfg_list[12])
-             if len(cfg_list) > 12 and isinstance(cfg_list[12], (list, tuple))
-             else 4)
-    num_kernels = (len(cfg_list[10])
-                   if len(cfg_list) > 10 and isinstance(cfg_list[10], (list, tuple))
-                   else 3)
+    # [12]=upsample_rates. Full training ckpts carry NO config/sr metadata
+    # (rvc/train/utils.py saves model+iteration only) — derive the decoder
+    # geometry and sample rate from the weight shapes instead of guessing
+    # 48k defaults, which would ScopeParamShapeError at first conversion.
+    ups_ids = [int(k.split(".")[2]) for k in weights
+               if k.startswith("dec.ups.") and k.split(".")[2].isdigit()]
+    res_ids = [int(k.split(".")[2]) for k in weights
+               if k.startswith("dec.resblocks.") and k.split(".")[2].isdigit()]
+    if len(cfg_list) > 12 and isinstance(cfg_list[12], (list, tuple)):
+        n_ups = len(cfg_list[12])
+    elif ups_ids:
+        n_ups = max(ups_ids) + 1
+    else:
+        n_ups = 4
+    if len(cfg_list) > 10 and isinstance(cfg_list[10], (list, tuple)):
+        num_kernels = len(cfg_list[10])
+    elif res_ids:
+        num_kernels = (max(res_ids) + 1) // n_ups
+    else:
+        num_kernels = 3
+    if not meta.get("sr"):
+        # the first ConvTranspose kernel size is unique per rate
+        # (32k: 20, 40k: 16, 48k: 24 — configs/config.py tables)
+        k0 = None
+        for key in ("dec.ups.0.weight_v", "dec.ups.0.weight",
+                    "dec.ups.0.parametrizations.weight.original1"):
+            if key in weights:
+                k0 = int(weights[key].shape[-1])
+                break
+        sr = {20: 32000, 16: 40000, 24: 48000}.get(k0)
+        if sr is not None:
+            meta["sr"] = sr
+            print(f"load_rvc_pth: inferred sample_rate={sr} from decoder "
+                  f"shapes (checkpoint carries no sr metadata)")
+        else:
+            print("load_rvc_pth: WARNING — checkpoint has no sr metadata "
+                  "and the decoder shape is unrecognized; callers will "
+                  "assume 48k, which may mismatch")
     params = convert_torch_synthesizer(
         weights, n_ups=n_ups, num_kernels=num_kernels,
         vocoder=meta.get("vocoder") or "HiFi-GAN",

@@ -19,6 +19,22 @@ PRETRAINED_SR = (32000, 40000, 48000)
 
 MODELS_DIR = os.path.join("models")
 
+# public asset locations (reference prerequisites_download.py:6-28)
+_URL_BASE = "https://huggingface.co/IAHispano/Applio/resolve/main/Resources"
+_ASSET_URLS = {
+    os.path.join("predictors", "rmvpe.pt"): f"{_URL_BASE}/predictors/rmvpe.pt",
+    os.path.join("predictors", "fcpe.pt"): (
+        "https://huggingface.co/Codename0/codename-rvc-fork-3-assets"
+        "/resolve/main/models/predictors/fcpe"
+    ),
+}
+for _sr in PRETRAINED_SR:
+    for _pfx in ("f0G", "f0D"):
+        _name = f"{_pfx}{_sr // 1000}k.pth"
+        _ASSET_URLS[os.path.join("pretraineds", _name)] = (
+            f"{_URL_BASE}/pretrained_v2/{_name}"
+        )
+
 
 def prerequisites_download_pipeline(
     pretraineds_hifigan: bool = True, models: bool = True
@@ -50,14 +66,30 @@ def prerequisites_download_pipeline(
     if not missing:
         print("all prerequisites present")
         return
-    try:
-        import requests  # noqa: F401
+    failed = []
+    for path in missing:
+        rel = os.path.relpath(path, MODELS_DIR)
+        url = _ASSET_URLS.get(rel)
+        if url is None:
+            failed.append(path)
+            continue
+        try:
+            import requests
 
-        # A real fetch would go here; zero-egress sandboxes can't reach HF.
-        raise OSError("network unavailable")
-    except Exception:
-        print("cannot download (no network). Place these files manually:")
-        for m in missing:
+            r = requests.get(url, stream=True, timeout=60)
+            r.raise_for_status()
+            tmp = path + ".part"
+            with open(tmp, "wb") as f:
+                for chunk in r.iter_content(chunk_size=1 << 20):
+                    f.write(chunk)
+            os.replace(tmp, path)
+            print(f"downloaded {path}")
+        except Exception as e:
+            failed.append(path)
+            print(f"fetch failed for {path} ({e})")
+    if failed:
+        print("could not download everything. Place these files manually:")
+        for m in failed:
             print(f"  {m}")
         print("Torch checkpoints are converted on load "
               "(rvc_tpu.utils.checkpoints / predictors.rmvpe).")
@@ -65,7 +97,8 @@ def prerequisites_download_pipeline(
 
 def install_model_archive(path: str, output_dir: str = "logs") -> str:
     """Install a dropped model file (zip of pth+index, bare .pth/.npz) into
-    logs/ (reference tabs/download drag-drop install)."""
+    logs/ (reference tabs/download drag-drop install). Returns the installed
+    destination path."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     os.makedirs(output_dir, exist_ok=True)
@@ -74,11 +107,11 @@ def install_model_archive(path: str, output_dir: str = "logs") -> str:
         dest = os.path.join(output_dir, name)
         with zipfile.ZipFile(path) as z:
             z.extractall(dest)
-        return f"extracted to {dest}"
+        return dest
     if path.endswith((".pth", ".npz", ".index")):
         dest = os.path.join(output_dir, os.path.basename(path))
         shutil.copy2(path, dest)
-        return f"installed {dest}"
+        return dest
     raise ValueError(f"unsupported model file {path!r} (.zip/.pth/.npz)")
 
 
@@ -90,10 +123,9 @@ def model_download_pipeline(model_link: str, output_dir: str = "logs") -> str:
     os.makedirs(output_dir, exist_ok=True)
 
     if local and os.path.exists(local):
-        msg = install_model_archive(local, output_dir)
-        print(msg)
-        # "extracted to <dest>" / "installed <dest>"
-        return msg.rsplit(" ", 1)[-1]
+        dest = install_model_archive(local, output_dir)
+        print(f"installed {dest}")
+        return dest
 
     try:
         import requests

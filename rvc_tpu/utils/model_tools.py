@@ -56,10 +56,20 @@ def model_blender(
     `<output_dir>/<name>.npz` and returns the path."""
     params_a, meta_a = _load_any(path_a)
     params_b, meta_b = _load_any(path_b)
-    if meta_a.get("sample_rate", meta_a.get("sr")) != meta_b.get(
-        "sample_rate", meta_b.get("sr")
-    ):
-        raise ValueError("cannot blend models with different sample rates")
+    from .blender_gui import normalize_sr
+
+    sr_a = normalize_sr(meta_a.get("sample_rate", meta_a.get("sr")))
+    sr_b = normalize_sr(meta_b.get("sample_rate", meta_b.get("sr")))
+    # '48k' strings and 48000 ints must compare equal; two *unknown* rates
+    # must not silently pass the None == None check
+    if sr_a is None or sr_b is None:
+        print("model_blender: WARNING — sample-rate metadata missing on "
+              f"{'both' if sr_a is None and sr_b is None else 'one'} model(s);"
+              " blending without the rate compatibility check")
+    elif sr_a != sr_b:
+        raise ValueError(
+            f"cannot blend models with different sample rates "
+            f"({sr_a} vs {sr_b})")
     blended = _blend_trees(params_a, params_b, ratio)
     meta = dict(meta_b)
     meta.update({
