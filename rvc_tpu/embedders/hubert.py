@@ -383,9 +383,13 @@ def resolve_embedder_path(
     if embedder_model == "custom" or embedder_model_custom:
         if embedder_model_custom and os.path.exists(embedder_model_custom):
             return embedder_model_custom
-        if embedder_model == "custom":
+        if embedder_model_custom:
+            # warn even when a named embedder was also selected — silently
+            # ignoring a typo'd custom path converts with the wrong embedder
             print(f"custom embedder not found: {embedder_model_custom}; "
-                  "falling back to contentvec")
+                  f"falling back to "
+                  f"{'contentvec' if embedder_model == 'custom' else embedder_model}")
+        if embedder_model == "custom":
             embedder_model = "contentvec"
     if embedder_model not in EMBEDDER_REGISTRY:
         raise ValueError(

@@ -60,12 +60,9 @@ class VoiceConverter:
         """Instantiate (and cache) the f0 predictors a method needs; local
         checkpoints under models/predictors/ are converted on load, random
         init otherwise (reference auto-downloads, pipeline.py:207,355-366)."""
-        methods = (
-            [m.strip() for m in f0_method[len("hybrid["):-1].split("+")]
-            if f0_method.startswith("hybrid[")
-            else [f0_method]
-        )
-        from ..predictors.f0_extractor import build_predictors
+        from ..predictors.f0_extractor import build_predictors, parse_f0_methods
+
+        methods = parse_f0_methods(f0_method)
 
         missing = [m for m in methods if m not in self._predictors and m != "yin"]
         if missing:
@@ -80,14 +77,22 @@ class VoiceConverter:
     # -- model management ----------------------------------------------------
 
     def load_embedder_model(self, embedder_model: str = "contentvec",
-                            embedder_model_custom: Optional[str] = None) -> None:
-        key = embedder_model_custom or embedder_model
+                            embedder_model_custom: Optional[str] = None,
+                            final_proj_dim: Optional[int] = None) -> None:
+        # cache under the custom path only when it actually resolves —
+        # caching a fallback under the custom key would pin the wrong
+        # embedder even after the user creates the file
+        custom_ok = bool(embedder_model_custom
+                         and os.path.exists(embedder_model_custom))
+        key = ((embedder_model_custom if custom_ok else embedder_model),
+               final_proj_dim)
         if key == self.last_embedder and self.embedder is not None:
             return
-        from ..embedders import load_embedder_by_name
+        from ..embedders import HubertConfig, load_embedder_by_name
 
         self.embedder, self.embedder_params = load_embedder_by_name(
-            embedder_model, embedder_model_custom
+            embedder_model, embedder_model_custom,
+            cfg=HubertConfig(final_proj_dim=final_proj_dim),
         )
         self.last_embedder = key
 
@@ -100,9 +105,11 @@ class VoiceConverter:
             and emb_key == self.last_embedder
         ):
             return
+        from ..utils.blender_gui import normalize_sr
+
         if model_path.endswith(".pth"):
             params, meta = load_rvc_pth(model_path)
-            self.tgt_sr = int(meta.get("sr") or 48000)
+            self.tgt_sr = int(normalize_sr(meta.get("sr")) or 48000)
             vocoder = meta.get("vocoder") or "HiFi-GAN"
             # full-training ckpts carry f0=None (key present): default to 1
             # only when absent/None — 0 is a legal "no pitch" value
@@ -112,15 +119,30 @@ class VoiceConverter:
         else:
             params, meta = load_checkpoint(model_path)
             params = params.get("model", params)
-            self.tgt_sr = int(meta.get("sample_rate", 48000))
-            vocoder = meta.get("vocoder", "HiFi-GAN")
-            self.use_f0 = bool(meta.get("f0", 1))
+            # .npz meta may come from trainer saves ('sample_rate') or a
+            # blended/converted .pth round trip ('sr', possibly '48k');
+            # 'f0' may be absent or present-but-None — same policy as .pth
+            sr_meta = normalize_sr(meta.get("sample_rate", meta.get("sr")))
+            self.tgt_sr = int(sr_meta) if sr_meta else 48000
+            vocoder = meta.get("vocoder") or "HiFi-GAN"
+            f0_meta = meta.get("f0")
+            self.use_f0 = bool(1 if f0_meta is None else f0_meta)
             emb = params.get("emb_g", {}).get("embedding")
             spk = int(emb.shape[0]) if emb is not None else 109
+        # v1 checkpoints feed 256-dim (final_proj) features to enc_p; the
+        # loaded weights are authoritative (version metadata is often absent)
+        try:
+            feat_dim = int(np.asarray(
+                params["enc_p"]["emb_phone"]["kernel"]).shape[0])
+        except Exception:
+            feat_dim = 768
         cfg = get_config(self.tgt_sr, vocoder=vocoder, use_f0=self.use_f0,
-                         spk_embed_dim=spk)
+                         spk_embed_dim=spk, text_enc_hidden_dim=feat_dim)
         model = Synthesizer.from_config(cfg)
-        self.load_embedder_model(embedder_model, embedder_model_custom)
+        self.load_embedder_model(
+            embedder_model, embedder_model_custom,
+            final_proj_dim=feat_dim if feat_dim != 768 else None,
+        )
         self.pipeline = Pipeline(
             self.tgt_sr, model, params, self.embedder, self.embedder_params,
             PipelineConfig.from_device(), upsample_factor=cfg.upsample_factor,
@@ -188,9 +210,13 @@ class VoiceConverter:
         **post_fx,
     ) -> str:
         start = time.time()
+        # decode the input FIRST: an unreadable/empty file must fail fast,
+        # not after a minutes-long model load/compile
+        audio16 = load_audio(audio_input_path, 16000)
+        if audio16.size == 0:
+            raise ValueError(f"empty audio file: {audio_input_path}")
         self.get_vc(model_path, embedder_model, embedder_model_custom)
 
-        audio16 = load_audio(audio_input_path, 16000)
         peak = np.abs(audio16).max() / 0.95
         if peak > 1.0:
             audio16 = audio16 / peak
@@ -268,7 +294,11 @@ class VoiceConverter:
         serial_only = bool(kwargs.get("split_audio")) or bool(kwargs.get("f0_file"))
         if not batch_pack or serial_only:
             for f in todo:
-                self.convert_audio(f, out_path(f), **kwargs)
+                try:
+                    self.convert_audio(f, out_path(f), **kwargs)
+                except Exception as e:
+                    # one corrupt/empty file must not abort the whole batch
+                    print(f"skipping {f}: {e}")
             return
 
         model_path = kwargs.get("model_path")
@@ -279,7 +309,13 @@ class VoiceConverter:
         max_len = pipe.t_max
         formant_shifting = bool(kwargs.get("formant_shifting"))
         for f in todo:
-            audio = load_audio(f, 16000)
+            try:
+                audio = load_audio(f, 16000)
+                if audio.size == 0:
+                    raise ValueError("empty audio file")
+            except Exception as e:
+                print(f"skipping {f}: {e}")
+                continue
             peak = np.abs(audio).max() / 0.95
             if peak > 1.0:
                 audio = audio / peak
@@ -343,7 +379,10 @@ class VoiceConverter:
                 pitches.append(pc)
                 pitchfs.append(pf)
                 sids.append(sid)
-                names.append((f, audio))
+                # keep the HIGH-PASSED audio for change_rms: the single-file
+                # path computes the RMS envelope post-highpass
+                # (pipeline.py pipeline()), and batch mode must match it
+                names.append((f, audio_hp))
             rng, sub = _jax.random.split(rng)
             outs = pipe.convert_segments_batch(
                 segs, pitches, pitchfs, sids, index_vectors, index_rate,
@@ -357,7 +396,7 @@ class VoiceConverter:
                     trimmed = change_rms(
                         audio, 16000, trimmed, self.tgt_sr, volume_envelope
                     )
-                peak = np.abs(trimmed).max() / 0.99
+                peak = (np.abs(trimmed).max() / 0.99) if trimmed.size else 0.0
                 if peak > 1.0:
                     trimmed = trimmed / peak
                 if clean_audio:
@@ -371,7 +410,10 @@ class VoiceConverter:
                 print(f"batch-converted {f} -> {final}")
 
         for f, _ in long_files:
-            self.convert_audio(f, out_path(f), **kwargs)
+            try:
+                self.convert_audio(f, out_path(f), **kwargs)
+            except Exception as e:
+                print(f"skipping {f}: {e}")
 
     @staticmethod
     def _export(path: str, export_format: str) -> str:

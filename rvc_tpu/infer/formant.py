@@ -21,7 +21,10 @@ def formant_shift(
     timbre: float = 1.0,
     n_fft: int = 1024,
 ) -> np.ndarray:
-    """Warp the spectral envelope by `timbre` (>1 lowers formants)."""
+    """Warp the spectral envelope by `timbre`: env'(f) = env(f / timbre),
+    so timbre > 1 stretches the envelope toward higher frequencies (formants
+    move UP, a brighter/younger timbre) — the same direction as the
+    stftpitchshift timbre quotient the reference shells out to."""
     if abs(timbre - 1.0) < 1e-6:
         return audio.astype(np.float32)
     hop = n_fft // 4

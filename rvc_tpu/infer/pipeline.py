@@ -564,7 +564,10 @@ class Pipeline:
         of synthesis per conversion (the old 2 s steps wasted up to 12% of
         device compute on typical lengths)."""
         step = SAMPLE_RATE
-        return ((t + step) // step) * step
+        # ceiling, NOT floor(t/step)+1: exact multiples (whole-second TTS
+        # output, trimmed clips) must not pay a full extra second of
+        # embedder+synthesizer compute
+        return ((t + step - 1) // step) * step
 
     def _p_len(self, t_real: int, t_pad: int) -> int:
         """Latent frames available for a real length inside its bucket:
@@ -601,11 +604,9 @@ class Pipeline:
         straight into the FCPE threshold, which zeroes every frame
         (torchfcpe latent max <= 1) — a bug we do not reproduce."""
         predictors = predictors or {}
-        methods = (
-            [m.strip() for m in f0_method[len("hybrid["):-1].split("+")]
-            if f0_method.startswith("hybrid[")
-            else [f0_method]
-        )
+        from ..predictors.f0_extractor import parse_f0_methods
+
+        methods = parse_f0_methods(f0_method)
         stack = []
         for m in methods:
             if m in predictors:

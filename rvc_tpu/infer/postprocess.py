@@ -145,6 +145,21 @@ def chorus(
     return ((1 - mix) * audio + mix * wet).astype(np.float32)
 
 
+def _delayed_recursion(
+    x: np.ndarray, d: int, b0: float, b1: float, a1: float
+) -> np.ndarray:
+    """y[n] = b0*x[n] + b1*x[n-d] + a1*y[n-d], evaluated as the d
+    independent interleaved first-order recursions it decomposes into —
+    O(N) instead of the O(N*d) a dense (d+1)-tap lfilter costs (minutes on
+    long audio for freeverb-size delays; same trick as _envelope)."""
+    n = len(x)
+    m = -(-n // d)
+    xp = np.zeros(m * d, np.float64)
+    xp[:n] = x
+    y = sps.lfilter([b0, b1], [1.0, -a1], xp.reshape(m, d), axis=0)
+    return y.reshape(-1)[:n]
+
+
 def reverb(
     audio: np.ndarray, sr: int,
     room_size: float = 0.5, damping: float = 0.5,
@@ -162,23 +177,14 @@ def reverb(
     x = audio.astype(np.float64)
     for cd in comb_delays:
         d = max(1, int(cd * scale))
-        # damped comb: y[n] = x[n-d] + feedback * lp(y[n-d])
-        b = np.zeros(d + 1)
-        b[d] = 1.0
-        a = np.zeros(d + 1)
-        a[0] = 1.0
-        # approximate damping by pre-filtering the feedback path:
-        # y[n] = x[n-d] + f*(1-damp)*y[n-d] (one-pole folded into gain)
-        a[d] = -feedback * (1.0 - damp)
-        out += sps.lfilter(b, a, x)
+        # damped comb y[n] = x[n-d] + f*(1-damp)*y[n-d] (one-pole folded
+        # into the gain), run as d interleaved first-order recursions
+        out += _delayed_recursion(x, d, 0.0, 1.0, feedback * (1.0 - damp))
     out /= len(comb_delays)
     for ad in allpass_delays:
         d = max(1, int(ad * scale))
-        b = np.zeros(d + 1)
-        a = np.zeros(d + 1)
-        b[0], b[d] = -0.5, 1.0
-        a[0], a[d] = 1.0, -0.5
-        out = sps.lfilter(b, a, out)
+        # allpass y[n] = -0.5 x[n] + x[n-d] + 0.5 y[n-d]
+        out = _delayed_recursion(out, d, -0.5, 1.0, 0.5)
     mixed = dry_gain * audio + wet_gain * out.astype(np.float32)
     peak = np.abs(mixed).max()
     if peak > 1.0:

@@ -25,6 +25,16 @@ DEFAULT_CKPTS = {
 }
 
 
+def parse_f0_methods(f0_method: str) -> list:
+    """'hybrid[a+b]' -> ['a', 'b']; a plain name -> [name]. The single
+    definition of the hybrid syntax (used by converter predictor loading AND
+    pipeline dispatch — duplicating it risks the two drifting apart)."""
+    if f0_method.startswith("hybrid[") and f0_method.endswith("]"):
+        return [m.strip()
+                for m in f0_method[len("hybrid["):-1].split("+") if m.strip()]
+    return [f0_method]
+
+
 def _resolve_ckpt(explicit: Optional[str], kind: str) -> Optional[str]:
     """Explicit path if it exists, else the canonical staged path, else None
     (random-init fallback keeps pipelines runnable offline, but loudly)."""
