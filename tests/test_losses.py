@@ -138,7 +138,8 @@ def test_gradient_penalty_unit_gradient():
 
     def disc_apply(params, y, y_hat):
         del params
-        return [y.reshape(y.shape[0], -1)], None, None, None
+        return ([y.reshape(y.shape[0], -1)],
+                [y_hat.reshape(y_hat.shape[0], -1)], None, None)
 
     real = jnp.asarray(np.random.default_rng(7).normal(size=(2, 64, 1)), jnp.float32)
     fake = jnp.asarray(np.random.default_rng(8).normal(size=(2, 64, 1)), jnp.float32)
