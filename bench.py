@@ -397,9 +397,20 @@ def main() -> None:
     else:
         record.setdefault("train_skipped", "budget")
     if left() > 90:
+        # same watchdog discipline as the pipeline/train sections: a stall
+        # or failure here must not discard the already-measured record
         t0 = time.perf_counter()
-        record["graph_xrt"] = round(bench_graph_only(), 2)
-        _log(f"graph bench done {time.perf_counter()-t0:.1f}s")
+        old = signal.signal(signal.SIGALRM, _pipe_deadline)
+        signal.alarm(int(max(60, left())))
+        try:
+            record["graph_xrt"] = round(bench_graph_only(), 2)
+            _log(f"graph bench done {time.perf_counter()-t0:.1f}s")
+        except Exception as e:
+            record["graph_error"] = str(e)[:200]
+            _log(f"graph bench failed: {e}")
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     # headline = sustained throughput of the full conversion path per chip
     # (the serving metric, and stable); single-call latency rides along as

@@ -225,6 +225,10 @@ int64_t decode(const uint8_t* data, int64_t size, float* out,
     const uint32_t len = (data[pos + 1] << 16) | (data[pos + 2] << 8)
                          | data[pos + 3];
     pos += 4;
+    // the claimed block length must fit in the buffer BEFORE any field is
+    // parsed — a truncated file can otherwise drive s[10..17] past the
+    // allocation (heap OOB read)
+    if (pos + static_cast<int64_t>(len) > size) return -1;
     if (type == 0 && len >= 34) {  // STREAMINFO
       const uint8_t* s = data + pos;
       si.sample_rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4);
@@ -398,8 +402,11 @@ void write_rice(BitWriter& bw, const int32_t* res, int n, int k) {
 int64_t encode(const float* in, int64_t n_samples, int channels,
                uint32_t sample_rate, uint8_t* out, int64_t max_out) {
   if (channels < 1 || channels > 8 || n_samples <= 0) return -1;
-  // worst case: verbatim-ish -> 17 bits/sample + headers
-  const int64_t bound = 64 + n_samples * channels * 3 + (n_samples / 4096 + 2) * 32;
+  // true worst case with the 4-bit rice param capped at 14: an order-2
+  // residual of full-scale Nyquist content zigzags to ~2^18, i.e.
+  // (u>>14) + 1 + 14 = 30 bits/sample — 3 bytes/sample is NOT a bound
+  // (confirmed by a +1/-1 alternating repro). Use 4 bytes/sample + headers.
+  const int64_t bound = 64 + n_samples * channels * 4 + (n_samples / 4096 + 2) * 48;
   if (out == nullptr) return bound;
 
   std::vector<uint8_t> buf;

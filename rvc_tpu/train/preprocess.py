@@ -216,6 +216,17 @@ class PreProcess:
             # reject clipped/broken takes (preprocess.py:59-61); peak==0
             # (digitally silent) would divide to NaN and poison the dataset
             return None
+        # the native kernel computes the same alpha-blend in one pass; the
+        # peak gate above keeps rejection semantics identical either way
+        from ..utils import native
+
+        out = None
+        try:
+            out = native.normalize_blend(audio, MAX_AMPLITUDE, ALPHA)
+        except ValueError:
+            return None
+        if out is not None:
+            return out
         return (audio / peak * (MAX_AMPLITUDE * ALPHA)) + (1 - ALPHA) * audio
 
     def _write_segment(self, seg: Optional[np.ndarray], sid, idx0, idx1) -> None:

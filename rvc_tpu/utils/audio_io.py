@@ -179,6 +179,10 @@ def save_audio(path: str, data: np.ndarray, sr: int, fmt: str | None = None) -> 
     if ext == "flac":
         from . import native
 
-        if native.flac_write(path, np.asarray(data), sr):
-            return
+        try:
+            if native.flac_write(path, np.asarray(data), sr):
+                return
+        except Exception as e:
+            # an encoder failure must not lose the audio — fall back to WAV
+            print(f"FLAC encode failed ({e}); writing WAV instead")
     write_wav(path, data, sr)

@@ -189,6 +189,13 @@ def flac_read(path: str) -> Optional[tuple]:
         if n < cap or total.value > 0:
             break
         cap *= 2  # buffer filled exactly: may be truncated, retry larger
+    if total.value > 0 and n < total.value:
+        # the decoder bails out of the frame loop on lost sync and returns
+        # what it has — STREAMINFO knows the true length, so a short result
+        # means mid-stream corruption, not a shorter file
+        raise ValueError(
+            f"FLAC stream truncated/corrupt: decoded {n} of "
+            f"{total.value} samples in {path}")
     data = out[: n * ch.value].reshape(n, ch.value)
     return (data[:, 0] if ch.value == 1 else data), int(sr.value)
 
@@ -206,6 +213,8 @@ def flac_write(path: str, data: np.ndarray, sr: int) -> bool:
     inter = np.ascontiguousarray(x.reshape(-1))
     n = x.shape[0]
     bound = lib.flac_encode(_fptr(inter), n, channels, sr, None, 0)
+    if bound <= 0:
+        return False  # empty/invalid input: let the caller's WAV fallback run
     buf = np.empty(bound, np.uint8)
     written = lib.flac_encode(_fptr(inter), n, channels, sr, _u8ptr(buf), bound)
     if written < 0:

@@ -46,7 +46,7 @@ def check_one(name: str, batch: int, segment: int, mesh) -> dict:
 
     from rvc_tpu.models.custom_discriminators import build_discriminator
 
-    model = build_discriminator([name] if name != "mpd" else ["mpd"])
+    model = build_discriminator([name])
     y = jax.ShapeDtypeStruct((batch, segment, 1), jnp.float32)
 
     def init_shape():

@@ -34,16 +34,20 @@ def _abstract_state_and_batch(cfg, model_g, model_d, tx_g, tx_d,
     d = cfg.data
     frames = 400
     seg_frames = cfg.train.segment_size // d.hop_length
+    # ShapeDtypeStructs, NOT real jnp.zeros: eval_shape only needs shapes,
+    # and materializing ~230 MB of device arrays through the remote tunnel
+    # would contradict this script's whole point
     batch = {
-        "phone": jnp.zeros((batch_size, frames, 768), jnp.float32),
-        "phone_lengths": jnp.zeros((batch_size,), jnp.int32),
-        "pitch": jnp.zeros((batch_size, frames), jnp.int32),
-        "pitchf": jnp.zeros((batch_size, frames), jnp.float32),
-        "spec": jnp.zeros((batch_size, frames, d.spec_channels), jnp.float32),
-        "spec_lengths": jnp.zeros((batch_size,), jnp.int32),
-        "wave": jnp.zeros(
+        "phone": jax.ShapeDtypeStruct((batch_size, frames, 768), jnp.float32),
+        "phone_lengths": jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        "pitch": jax.ShapeDtypeStruct((batch_size, frames), jnp.int32),
+        "pitchf": jax.ShapeDtypeStruct((batch_size, frames), jnp.float32),
+        "spec": jax.ShapeDtypeStruct(
+            (batch_size, frames, d.spec_channels), jnp.float32),
+        "spec_lengths": jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        "wave": jax.ShapeDtypeStruct(
             (batch_size, frames * d.hop_length, 1), jnp.float32),
-        "sid": jnp.zeros((batch_size,), jnp.int32),
+        "sid": jax.ShapeDtypeStruct((batch_size,), jnp.int32),
     }
     del seg_frames
     rng = jax.random.PRNGKey(0)

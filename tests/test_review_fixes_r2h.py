@@ -1,5 +1,7 @@
 """Regression tests for the round-2h infer/embedders review findings."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -79,3 +81,64 @@ def test_normalize_sr_in_get_vc_meta():
     assert normalize_sr("40k") == 40000
     assert normalize_sr(48000) == 48000
     assert normalize_sr(None) is None
+
+
+# -- native FLAC codec hardening (round-2h native review) --------------------
+
+
+def _native_lib():
+    from rvc_tpu.utils import native
+
+    return native.get_lib()
+
+
+@pytest.mark.skipif(_native_lib() is None, reason="native lib unavailable")
+def test_flac_encode_worst_case_content(tmp_path):
+    """Full-scale Nyquist content exceeds 3 bytes/sample under rice k<=14;
+    the corrected 4-byte bound must make it encode+roundtrip."""
+    from rvc_tpu.utils import native
+
+    p = str(tmp_path / "nyq.flac")
+    x = np.tile(np.float32([1.0, -1.0]), 40960)
+    assert native.flac_write(p, x, 16000)
+    data, sr = native.flac_read(p)
+    assert sr == 16000 and len(data) == len(x)
+    np.testing.assert_allclose(data, np.clip(x, -1, 1), atol=2e-4)
+
+
+@pytest.mark.skipif(_native_lib() is None, reason="native lib unavailable")
+def test_flac_empty_input_falls_back_to_wav(tmp_path):
+    from rvc_tpu.utils.audio_io import save_audio
+
+    p = str(tmp_path / "empty.flac")
+    save_audio(p, np.zeros(0, np.float32), 16000)  # must not raise
+    assert os.path.exists(p)
+
+
+@pytest.mark.skipif(_native_lib() is None, reason="native lib unavailable")
+def test_flac_truncated_metadata_rejected(tmp_path):
+    """A STREAMINFO header whose claimed length exceeds the buffer must be
+    rejected (was a heap OOB read), not parsed."""
+    from rvc_tpu.utils import native
+
+    p = str(tmp_path / "trunc.flac")
+    with open(p, "wb") as f:
+        f.write(b"fLaC" + bytes([0x00, 0, 0, 34]) + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        native.flac_read(p)
+
+
+@pytest.mark.skipif(_native_lib() is None, reason="native lib unavailable")
+def test_flac_midstream_corruption_detected(tmp_path):
+    from rvc_tpu.utils import native
+
+    p = str(tmp_path / "good.flac")
+    sig = (0.3 * np.sin(2 * np.pi * 220 * np.arange(20000) / 16000)).astype(
+        np.float32)
+    assert native.flac_write(p, sig, 16000)
+    raw = bytearray(open(p, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF  # lose frame sync mid-stream
+    p2 = str(tmp_path / "corrupt.flac")
+    open(p2, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        native.flac_read(p2)
