@@ -147,7 +147,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_infer_args(p)
 
     p = sub.add_parser("tts", help="Text-to-speech then voice conversion")
-    p.add_argument("--tts_text", type=str, required=True)
+    p.add_argument("--tts_text", type=str, default=None,
+                   help="text to speak (or use --input_path)")
     p.add_argument("--tts_voice", type=str, required=True)
     p.add_argument("--tts_rate", type=int, default=0)
     p.add_argument("--input_path", type=str, default=None,
@@ -292,6 +293,8 @@ def main(argv=None) -> int:
         text = args.tts_text
         if args.input_path and os.path.exists(args.input_path):
             text = open(args.input_path, encoding="utf-8").read()
+        if not text:
+            raise SystemExit("tts: provide --tts_text or --input_path")
         run_tts(text, args.tts_voice, args.tts_rate, args.output_tts_path)
         from .infer.converter import VoiceConverter
 
@@ -326,6 +329,7 @@ def main(argv=None) -> int:
             embedder_ckpt=args.embedder_model_custom,
             include_mutes=args.include_mutes, sample_rate=args.sample_rate,
             batch_size=args.batch_size, embedder_model=args.embedder_model,
+            hop_length=args.hop_length,
         )
         print(f"extraction complete for {exp_dir}")
 
@@ -373,14 +377,16 @@ def main(argv=None) -> int:
         from .train.index_builder import build_index
 
         try:
-            print("index:", build_index(exp_dir))
+            print("index:", build_index(
+                exp_dir, algorithm=args.index_algorithm))
         except FileNotFoundError:
             pass
 
     elif args.mode == "index":
         from .train.index_builder import build_index
 
-        print(build_index(os.path.join("logs", args.model_name)))
+        print(build_index(os.path.join("logs", args.model_name),
+                          algorithm=args.index_algorithm))
 
     elif args.mode == "model_information":
         from .utils.model_tools import model_information

@@ -52,16 +52,23 @@ class FeatureExtractor:
         embedder_ckpt: Optional[str] = None,
         batch_size: int = 8,
         embedder_model: str = "contentvec",
+        hop_length: int = HOP,
     ):
         import jax
 
         self.batch_size = batch_size
         self.f0_method = f0_method
+        self.hop_length = int(hop_length)
         self._rmvpe = None
         self._predict_f0 = None
         if f0_method == "rmvpe":
+            from ..predictors.f0_extractor import DEFAULT_CKPTS
             from ..predictors.rmvpe import RMVPE
 
+            # default to the staged checkpoint: the UI calls run_extraction
+            # without a path, and random-init RMVPE would silently ruin the
+            # whole dataset's f0
+            rmvpe_ckpt = rmvpe_ckpt or DEFAULT_CKPTS["rmvpe"]
             if rmvpe_ckpt and os.path.exists(rmvpe_ckpt):
                 self._rmvpe = RMVPE.from_torch_checkpoint(rmvpe_ckpt)
             else:
@@ -97,7 +104,26 @@ class FeatureExtractor:
             for i in range(0, len(wavs), self.batch_size):
                 outs.extend(self._rmvpe.infer_batch(wavs[i : i + self.batch_size]))
         elif self._predict_f0 is not None:
-            outs = [np.asarray(self._predict_f0(w)) for w in wavs]
+            if (self.f0_method.startswith("crepe")
+                    and self.hop_length != HOP):
+                # crepe honors the CLI --hop_length; interpolate the contour
+                # back to the 10 ms training grid (same rule as
+                # infer/pipeline.get_f0)
+                outs = []
+                for w in wavs:
+                    f0 = np.asarray(self._predict_f0(
+                        w, hop_length=self.hop_length))
+                    n_t = len(w) // HOP + 1
+                    if len(f0) > 1:
+                        src = f0.astype(np.float64)
+                        src[src < 0.001] = np.nan
+                        tgt = np.interp(
+                            np.arange(0, len(src) * n_t, len(src)) / n_t,
+                            np.arange(len(src)), src)
+                        f0 = np.nan_to_num(tgt)
+                    outs.append(f0)
+            else:
+                outs = [np.asarray(self._predict_f0(w)) for w in wavs]
         elif self.f0_method in ("yin", "pm"):
             from ..predictors.dsp_f0 import yin_f0_np
 
@@ -145,6 +171,7 @@ def run_extraction(
     sample_rate: int = 48000,
     batch_size: int = 8,
     embedder_model: str = "contentvec",
+    hop_length: int = HOP,
 ) -> None:
     """Run both phases + write config.json and filelist.txt."""
     wav16_dir = os.path.join(exp_dir, "sliced_audios_16k")
@@ -158,7 +185,8 @@ def run_extraction(
         fn[:-4] for fn in os.listdir(wav16_dir) if fn.endswith(".wav")
     )
     fx = FeatureExtractor(f0_method, rmvpe_ckpt, embedder_ckpt, batch_size,
-                          embedder_model=embedder_model)
+                          embedder_model=embedder_model,
+                          hop_length=hop_length)
 
     # Stream in bounded chunks: decoding the whole dataset up front would
     # hold every float32 wav (plus all results) in host RAM at once — a

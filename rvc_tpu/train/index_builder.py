@@ -31,8 +31,16 @@ def build_index(
     seed: int = 1234,
     max_rows: int = MAX_ROWS_BEFORE_COMPRESSION,
     n_centroids: int = N_CENTROIDS,
+    algorithm: str = "Auto",
 ) -> str:
-    """Build `<model>.index.npz` from `<exp_dir>/extracted/*.npy`."""
+    """Build `<model>.index.npz` from `<exp_dir>/extracted/*.npy`.
+
+    algorithm (reference extract_index.py / core.py --index_algorithm):
+      "Auto"   — k-means-compress only above `max_rows` (default),
+      "KMeans" — always compress to `n_centroids`,
+      "Faiss"  — never compress (exact flat matrix; the reference's IVF
+                 training disappears because device search is exact).
+    """
     feature_dir = os.path.join(exp_dir, "extracted")
     paths = sorted(glob.glob(os.path.join(feature_dir, "*.npy")))
     if not paths:
@@ -42,7 +50,9 @@ def build_index(
     rng = np.random.default_rng(seed)
     rng.shuffle(feats)
 
-    if feats.shape[0] > max_rows:
+    compress = (feats.shape[0] > max_rows if algorithm == "Auto"
+                else algorithm.lower() == "kmeans")
+    if compress and feats.shape[0] > n_centroids:
         import jax.numpy as jnp
 
         centroids = kmeans(

@@ -38,7 +38,15 @@ class I18nAuto:
         return (loc or "en_US").split(".")[0]
 
     def _load(self, language: str) -> Dict[str, str]:
-        for cand in (language, language.split("_")[0], "en_US"):
+        prefix = language.split("_")[0]
+        # same-language packs under a different region code: several shipped
+        # packs use doubled codes (cs_CS, el_EL, uk_UK, he_HE, fa_FA...), so
+        # a cs_CZ/el_GR/uk_UA user must still find their translation
+        prefix_hits = sorted(
+            c for c in self.available_languages()
+            if c.split("_")[0] == prefix
+        )
+        for cand in [language, prefix, *prefix_hits, "en_US"]:
             path = os.path.join(self.languages_dir, f"{cand}.json")
             if os.path.exists(path):
                 try:

@@ -16,6 +16,7 @@ import glob
 import json
 import os
 import threading
+import time
 
 
 def _model_choices():
@@ -48,11 +49,15 @@ def _match_index(model_path: str) -> str:
 
 
 def _pretrained_choices(prefix: str):
-    pats = [os.path.join("models", "pretraineds", "**", f"{prefix}*.npz"),
-            os.path.join("models", "pretraineds", "**", f"{prefix}*.pth")]
-    out = []
+    # staged defaults are named f0G{sr}k/f0D{sr}k (downloads.py), custom
+    # drops may be plain G*/D* — match both
+    pats = []
+    for stem in (prefix, f"f0{prefix}"):
+        pats += [os.path.join("models", "pretraineds", "**", f"{stem}*.npz"),
+                 os.path.join("models", "pretraineds", "**", f"{stem}*.pth")]
+    out = set()
     for p in pats:
-        out.extend(glob.glob(p, recursive=True))
+        out.update(glob.glob(p, recursive=True))
     return sorted(out)
 
 
@@ -124,7 +129,7 @@ def _build_knobs(gr, i18n):
         ("reverb_freeze_mode", 0.0, 1.0, 0.0),
         ("pitch_shift_semitones", -12.0, 12.0, 0.0),
         ("limiter_threshold", -60.0, 0.0, -6.0),
-        ("limiter_release_time", 0.01, 1.0, 0.05),
+        ("limiter_release_time", 0.01, 1.0, 0.01),  # CLI/reference default
         ("gain_db", -60.0, 60.0, 0.0),
         ("distortion_gain", 0.0, 60.0, 25.0),
         ("chorus_rate", 0.1, 10.0, 1.0),
@@ -204,7 +209,12 @@ def inference_tab(gr, i18n):
 
         def do_convert(path, mdl, idx, spk, emb_custom, f0f, *values):
             kw = _knob_kwargs(values)
-            out = os.path.join("logs", "ui_output.wav")
+            # per-invocation output name: a fixed path would let concurrent
+            # or successive conversions clobber each other while gradio is
+            # still serving the previous file
+            base = os.path.splitext(os.path.basename(path or "audio"))[0]
+            out = os.path.join(
+                "logs", f"{base}_output_{int(time.time() * 1000)}.wav")
             result = vc.convert_audio(
                 audio_input_path=path, audio_output_path=out, model_path=mdl,
                 index_path=idx or "", sid=int(spk),
@@ -251,7 +261,7 @@ def inference_tab(gr, i18n):
     )
 
 
-_TRAIN_THREAD = {"thread": None}
+_TRAIN_THREAD = {"thread": None, "error": None}
 
 
 def train_tab(gr, i18n):
@@ -384,11 +394,33 @@ def train_tab(gr, i18n):
             from ..train.trainer import reset_stop
 
             reset_stop()
-            t = threading.Thread(target=cli_main, args=(args,), daemon=True)
+
+            def _run():
+                # surface failures: a daemon thread's traceback only hits
+                # the server console, which the UI user never sees — write
+                # it where the Stop/status handlers can report it
+                try:
+                    cli_main(args)
+                except Exception:
+                    import traceback
+
+                    err = traceback.format_exc()
+                    _TRAIN_THREAD["error"] = err
+                    try:
+                        os.makedirs(os.path.join("logs", name), exist_ok=True)
+                        with open(os.path.join(
+                                "logs", name, "train_error.log"), "w") as f:
+                            f.write(err)
+                    except OSError:
+                        pass
+
+            _TRAIN_THREAD["error"] = None
+            t = threading.Thread(target=_run, daemon=True)
             _TRAIN_THREAD["thread"] = t
             t.start()
             return (f"training started in the background; follow "
-                    f"logs/{name}/metrics.jsonl")
+                    f"logs/{name}/metrics.jsonl (errors land in "
+                    f"logs/{name}/train_error.log)")
 
         def do_stop():
             from ..train.trainer import request_stop
@@ -397,6 +429,9 @@ def train_tab(gr, i18n):
             # installed; the trainer polls this flag at each epoch boundary
             t = _TRAIN_THREAD["thread"]
             if t is None or not t.is_alive():
+                err = _TRAIN_THREAD.get("error")
+                if err:
+                    return f"last training run FAILED:\n{err[-2000:]}"
                 return "no training run in progress"
             request_stop()
             return "stop requested: checkpointing at the epoch boundary"
@@ -596,10 +631,12 @@ def settings_tab(gr, i18n):
                 "(restart the UI to apply language/theme)")
 
     def do_restart():
-        # re-exec the current process (reference restart_applio)
+        # re-exec via `-m rvc_tpu.ui.app`: exec'ing app.py as a plain script
+        # would die on its relative imports (reference restart_applio)
         import sys
 
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        os.execv(sys.executable,
+                 [sys.executable, "-m", "rvc_tpu.ui.app"] + sys.argv[1:])
 
     save.click(do_save, [lang, theme, precision, author], [out])
     restart.click(do_restart, [], [])
