@@ -142,3 +142,20 @@ def test_flac_midstream_corruption_detected(tmp_path):
     open(p2, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="truncated|corrupt"):
         native.flac_read(p2)
+
+
+def test_v1_embedder_final_proj_dim():
+    """The v1 wiring: HubertConfig(final_proj_dim=256) must emit 256-dim
+    features (converter.get_vc selects this when enc_p expects 256)."""
+    import jax
+    import numpy as np
+
+    from rvc_tpu.embedders import FlaxHubert, HubertConfig
+
+    cfg = HubertConfig(hidden_size=64, num_layers=1, num_heads=2,
+                       intermediate_size=128, final_proj_dim=256)
+    m = FlaxHubert(cfg)
+    x = np.zeros((1, 16000), np.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape[-1] == 256
