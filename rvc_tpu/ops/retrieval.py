@@ -162,20 +162,52 @@ def kmeans(
     batch_size: Optional[int] = None,
 ) -> jax.Array:
     """Lloyd k-means on device (replaces sklearn MiniBatchKMeans compression,
-    reference extract_index.py:43-56). data [N, D] -> centroids [K, D]."""
-    n = data.shape[0]
+    reference extract_index.py:43-56). data [N, D] -> centroids [K, D].
+
+    The assignment step scans the data in `batch_size`-row chunks,
+    accumulating per-centroid sums/counts — a single dense [N, K] distance
+    matrix (1M rows x 10k centroids = 40 GB f32) would OOM at exactly the
+    dataset sizes the compression exists for. Full-batch Lloyd semantics,
+    O(batch_size * K) peak memory.
+    """
+    n, dim = data.shape
+    if batch_size is None:
+        batch_size = int(max(1024, min(n, DENSE_ELEMS_LIMIT // max(n_clusters, 1))))
     init_idx = jax.random.choice(rng, n, (n_clusters,), replace=False)
     centroids = data[init_idx]
 
+    n_chunks = -(-n // batch_size)
+    pad = n_chunks * batch_size - n
+    data_p = jnp.pad(data, ((0, pad), (0, 0))) if pad else data
+    chunks = data_p.reshape(n_chunks, batch_size, dim)
+    vmask = (jnp.arange(n_chunks * batch_size) < n).astype(
+        data.dtype).reshape(n_chunks, batch_size)
+
     def step(centroids, _):
-        d2, idx = knn_search(data, centroids, 1)
-        one_hot = jax.nn.one_hot(idx[:, 0], n_clusters, dtype=data.dtype)  # [N, K]
-        counts = one_hot.sum(axis=0)[:, None]                              # [K, 1]
-        sums = jnp.matmul(
-            one_hot.T, data, preferred_element_type=jnp.float32
+        c2 = jnp.sum(centroids**2, axis=1)[None, :]  # [1, K]
+
+        def chunk_step(carry, inp):
+            sums, counts = carry
+            x, m = inp  # [B, D], [B]
+            cross = jnp.matmul(
+                x, centroids.T, preferred_element_type=jnp.float32)
+            idx = jnp.argmin(c2 - 2.0 * cross, axis=1)  # x^2 is constant in k
+            oh = jax.nn.one_hot(idx, n_clusters, dtype=jnp.float32)
+            oh = oh * m[:, None]  # padded rows contribute nothing
+            sums = sums + jnp.matmul(
+                oh.T, x, preferred_element_type=jnp.float32)
+            counts = counts + oh.sum(axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_step,
+            (jnp.zeros((n_clusters, dim), jnp.float32),
+             jnp.zeros((n_clusters,), jnp.float32)),
+            (chunks, vmask),
         )
+        counts = counts[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centroids)
-        return new, None
+        return new.astype(data.dtype), None
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=n_iters)
     return centroids
