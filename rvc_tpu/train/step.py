@@ -220,32 +220,37 @@ def make_train_step(
             y_hat, z, z_p, m_p, logs_p, m_q, logs_q, y_mask = outs
             _, y_d_g, fmap_r, fmap_g = d_apply(params_d, wave, y_hat)
 
+            # standard mels: the loss term in single-scale mode, and the
+            # mel-similarity % metric in BOTH modes (reference computes
+            # y_mel/y_hat_mel unconditionally, train.py:1040-1053, and logs
+            # mel_spec_similarity per batch, train.py:184-204)
+            y_hat_mel = mel_spectrogram(
+                y_hat[..., 0],
+                d.filter_length,
+                d.n_mel_channels,
+                d.sample_rate,
+                d.hop_length,
+                d.win_length,
+                d.mel_fmin,
+                d.mel_fmax,
+            )
+            mel = spec_to_mel(
+                batch["spec"].astype(jnp.float32),
+                d.filter_length,
+                d.n_mel_channels,
+                d.sample_rate,
+                d.mel_fmin,
+                d.mel_fmax,
+            )
+            y_mel = slice_segments(mel, ids_slice, seg_frames)
+            std_mel_l1 = L.mel_l1_loss(y_mel, y_hat_mel)
             if t.use_multiscale_mel:
                 raw_mel = L.multiscale_mel_loss(
                     wave[..., 0], y_hat[..., 0], d.sample_rate
                 )
                 loss_mel = raw_mel if t.use_balancer else raw_mel * t.c_mel / 3.0
             else:
-                y_hat_mel = mel_spectrogram(
-                    y_hat[..., 0],
-                    d.filter_length,
-                    d.n_mel_channels,
-                    d.sample_rate,
-                    d.hop_length,
-                    d.win_length,
-                    d.mel_fmin,
-                    d.mel_fmax,
-                )
-                mel = spec_to_mel(
-                    batch["spec"].astype(jnp.float32),
-                    d.filter_length,
-                    d.n_mel_channels,
-                    d.sample_rate,
-                    d.mel_fmin,
-                    d.mel_fmax,
-                )
-                y_mel = slice_segments(mel, ids_slice, seg_frames)
-                raw_mel = L.mel_l1_loss(y_mel, y_hat_mel)
+                raw_mel = std_mel_l1
                 loss_mel = raw_mel if t.use_balancer else raw_mel * t.c_mel
 
             raw_fm = L.feature_loss(fmap_r, fmap_g)
@@ -270,6 +275,8 @@ def make_train_step(
                 "loss_mel": loss_mel,
                 "loss_kl": loss_kl,
                 "loss_gen_all": total,
+                "mel_similarity_pct": jax.lax.stop_gradient(
+                    jnp.clip(100.0 - std_mel_l1 * 100.0, 0.0, 100.0)),
             }
 
         if state.balancer is not None:
