@@ -599,7 +599,45 @@ class Trainer:
         wav = np.asarray(audio[0, :, 0])[: n * self.cfg.data.hop_length]
         out = os.path.join(self.args.exp_dir, f"reference_e{epoch}.wav")
         write_wav(out, wav, self.cfg.data.sample_rate)
+        self._log_spectrogram_image(wav, epoch)
         return out
+
+    def _log_spectrogram_image(self, wav: np.ndarray, epoch: int) -> None:
+        """Save (and TB-log when available) a mel spectrogram image of the
+        reference render, like the reference's per-save-epoch
+        plot_spectrogram_to_numpy slides (train.py:1354-1388)."""
+        try:
+            d = self.cfg.data
+            from .data import spectrogram_np
+            from ..ops.stft import mel_filterbank
+
+            spec = spectrogram_np(
+                wav, d.filter_length, d.hop_length, d.win_length)
+            fb = mel_filterbank(d.sample_rate, d.filter_length,
+                                d.n_mel_channels, d.mel_fmin,
+                                d.mel_fmax or d.sample_rate / 2)
+            mel_db = np.log(np.maximum(spec @ fb.T, 1e-5)).T  # [mels, T]
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(10, 3))
+            im = ax.imshow(mel_db, aspect="auto", origin="lower",
+                           interpolation="none")
+            fig.colorbar(im, ax=ax)
+            ax.set_title(f"reference mel (epoch {epoch})")
+            fig.tight_layout()
+            png = os.path.join(self.args.exp_dir, f"reference_e{epoch}.png")
+            fig.savefig(png, dpi=100)
+            if self.logger._tb is not None:
+                fig.canvas.draw()
+                img = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+                self.logger._tb.add_image(
+                    "reference/mel", img, epoch, dataformats="HWC")
+            plt.close(fig)
+        except Exception as e:
+            print(f"spectrogram image skipped ({e})")
 
     def _write_heartbeat(self, epoch: int) -> None:
         """Liveness probe for external monitors (the reference only exposes
