@@ -35,6 +35,15 @@ def _require_gradio():
 def build_app():
     gr = _require_gradio()
 
+    # boot-time prerequisites check (reference app.py:33-37 auto-downloads);
+    # offline it just reports what is missing, never blocks the UI
+    try:
+        from ..utils.downloads import prerequisites_download_pipeline
+
+        prerequisites_download_pipeline()
+    except Exception as e:
+        print(f"prerequisites check skipped ({e})")
+
     from .tabs import (
         download_tab, inference_tab, load_ui_config, settings_tab,
         train_tab, tts_tab, utilities_tab, voice_blender_tab,

@@ -441,6 +441,34 @@ def train_tab(gr, i18n):
 
             return build_index(os.path.join("logs", name))
 
+        export_btn = gr.Button(i18n("Export Model"))
+
+        def do_export(name):
+            """Pack the deployable artifacts into one zip (the reference's
+            'upload to Google Drive' step, minus the egress: the zip is the
+            portable bundle a user downloads/shares)."""
+            import zipfile
+
+            exp = os.path.join("logs", name)
+            if not os.path.isdir(exp):
+                return f"no experiment at {exp}"
+            picks = sorted(
+                f for f in os.listdir(exp)
+                if (f.endswith((".index.npz", ".pth"))
+                    or (f.endswith(".npz") and "e." not in f and
+                        not f.startswith(("G_", "D_"))))
+            )
+            deploy = [f for f in os.listdir(exp)
+                      if f.endswith("e.npz") or f.endswith("e.pth")]
+            picks = sorted(set(picks + deploy))
+            if not picks:
+                return "nothing exportable yet (train + index first)"
+            out = os.path.join(exp, f"{name}_export.zip")
+            with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+                for f in picks:
+                    z.write(os.path.join(exp, f), arcname=f)
+            return f"exported {out} ({len(picks)} file(s))"
+
         train_btn.click(
             do_train,
             [model_name, sample_rate, vocoder, epochs, batch, save_every,
@@ -450,6 +478,7 @@ def train_tab(gr, i18n):
             [train_out])
         stop_btn.click(do_stop, [], [train_out])
         idx_btn.click(do_index, [model_name], [train_out])
+        export_btn.click(do_export, [model_name], [train_out])
 
 
 def tts_tab(gr, i18n):
