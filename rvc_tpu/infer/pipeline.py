@@ -626,13 +626,10 @@ class Pipeline:
                             audio_pad, hop_length=int(hop_length)))
                     except TypeError:
                         f0 = np.asarray(predictors[m](audio_pad))
-                    if int(hop_length) != WINDOW and len(f0) > 1:
-                        src = f0.astype(np.float64)
-                        src[src < 0.001] = np.nan
-                        tgt = np.interp(
-                            np.arange(0, len(src) * p_len, len(src)) / p_len,
-                            np.arange(len(src)), src)
-                        f0 = np.nan_to_num(tgt)
+                    if int(hop_length) != WINDOW:
+                        from ..predictors.f0_extractor import interp_f0_to_grid
+
+                        f0 = interp_f0_to_grid(f0, p_len)
                 else:
                     f0 = np.asarray(predictors[m](audio_pad))
             elif m == "yin":

@@ -25,6 +25,21 @@ DEFAULT_CKPTS = {
 }
 
 
+def interp_f0_to_grid(f0: np.ndarray, n_frames: int) -> np.ndarray:
+    """Resample an f0 contour to `n_frames` on the 10 ms grid, treating
+    unvoiced (<0.001 Hz) as NaN so interpolation never bridges a voiced
+    value across silence (reference pipeline.py:242-259 crepe resize).
+    Shared by the inference pipeline and extraction."""
+    if len(f0) <= 1:
+        return np.asarray(f0, np.float32)
+    src = np.asarray(f0, np.float64).copy()
+    src[src < 0.001] = np.nan
+    tgt = np.interp(
+        np.arange(0, len(src) * n_frames, len(src)) / n_frames,
+        np.arange(len(src)), src)
+    return np.nan_to_num(tgt)
+
+
 def parse_f0_methods(f0_method: str) -> list:
     """'hybrid[a+b]' -> ['a', 'b']; a plain name -> [name]. The single
     definition of the hybrid syntax (used by converter predictor loading AND

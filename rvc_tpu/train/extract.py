@@ -107,21 +107,17 @@ class FeatureExtractor:
             if (self.f0_method.startswith("crepe")
                     and self.hop_length != HOP):
                 # crepe honors the CLI --hop_length; interpolate the contour
-                # back to the 10 ms training grid (same rule as
+                # back to the 10 ms training grid (shared helper with
                 # infer/pipeline.get_f0)
-                outs = []
-                for w in wavs:
-                    f0 = np.asarray(self._predict_f0(
-                        w, hop_length=self.hop_length))
-                    n_t = len(w) // HOP + 1
-                    if len(f0) > 1:
-                        src = f0.astype(np.float64)
-                        src[src < 0.001] = np.nan
-                        tgt = np.interp(
-                            np.arange(0, len(src) * n_t, len(src)) / n_t,
-                            np.arange(len(src)), src)
-                        f0 = np.nan_to_num(tgt)
-                    outs.append(f0)
+                from ..predictors.f0_extractor import interp_f0_to_grid
+
+                outs = [
+                    interp_f0_to_grid(
+                        np.asarray(self._predict_f0(
+                            w, hop_length=self.hop_length)),
+                        len(w) // HOP + 1)
+                    for w in wavs
+                ]
             else:
                 outs = [np.asarray(self._predict_f0(w)) for w in wavs]
         elif self.f0_method in ("yin", "pm"):

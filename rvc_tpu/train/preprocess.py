@@ -220,7 +220,6 @@ class PreProcess:
         # peak gate above keeps rejection semantics identical either way
         from ..utils import native
 
-        out = None
         try:
             out = native.normalize_blend(audio, MAX_AMPLITUDE, ALPHA)
         except ValueError:

@@ -28,12 +28,11 @@ _ASSET_URLS = {
         "/resolve/main/models/predictors/fcpe"
     ),
 }
-for _sr in PRETRAINED_SR:
-    for _pfx in ("f0G", "f0D"):
-        _name = f"{_pfx}{_sr // 1000}k.pth"
-        _ASSET_URLS[os.path.join("pretraineds", _name)] = (
-            f"{_URL_BASE}/pretrained_v2/{_name}"
-        )
+_ASSET_URLS.update({
+    os.path.join("pretraineds", f"{pfx}{sr // 1000}k.pth"):
+        f"{_URL_BASE}/pretrained_v2/{pfx}{sr // 1000}k.pth"
+    for sr in PRETRAINED_SR for pfx in ("f0G", "f0D")
+})
 
 
 def prerequisites_download_pipeline(
