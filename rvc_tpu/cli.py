@@ -45,6 +45,34 @@ def pretrained_selector(vocoder: str, sample_rate: int) -> tuple[str, str]:
     return "", ""
 
 
+def cleanup_previous_run(exp_dir: str) -> int:
+    """Fresh-start request: drop prior-attempt training state (reference
+    train.py:377-403 removes G_/D_ ckpts, index, events). Dataset artifacts
+    (filelist, config, features, wavs) are kept. Returns removal count."""
+    removed = 0
+    if not os.path.isdir(exp_dir):
+        return 0
+    for fn in os.listdir(exp_dir):
+        if (fn.startswith(("G_", "D_", "orbax_", "reference_e"))
+                or fn.endswith(".index.npz")
+                or fn in ("metrics.jsonl", "heartbeat.json",
+                          "train_error.log")
+                or fn.startswith("events.out.tfevents")):
+            path = os.path.join(exp_dir, fn)
+            try:
+                if os.path.isdir(path):
+                    import shutil
+
+                    shutil.rmtree(path)
+                else:
+                    os.remove(path)
+                removed += 1
+            except OSError as e:
+                print(f"cleanup: could not remove {path} ({e})")
+    print(f"cleanup: removed {removed} previous-attempt artifact(s)")
+    return removed
+
+
 def _add_post_fx_args(p: argparse.ArgumentParser) -> None:
     for flag in ("post_process", "reverb", "pitch_shift", "limiter", "gain",
                  "distortion", "chorus", "bitcrush", "clipping", "compressor",
@@ -216,6 +244,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list: mpd,mpd_v1,mrd,msstft,mssbcqt,msd,"
                         "fregan_mpd,mmsd")
     p.add_argument("--index_algorithm", type=str, default="Auto")
+    p.add_argument("--cleanup", type=_bool, default=False,
+                   help="remove previous-attempt checkpoints/index/metrics "
+                        "before training (reference train.py:377-403)")
 
     p = sub.add_parser("index", help="Build the retrieval index")
     p.add_argument("--model_name", type=str, required=True)
@@ -338,6 +369,9 @@ def main(argv=None) -> int:
 
         from .configs import get_config
         from .train.trainer import Trainer, TrainerArgs
+
+        if getattr(args, "cleanup", False):
+            cleanup_previous_run(os.path.join("logs", args.model_name))
 
         cfg = get_config(args.sample_rate, vocoder=args.vocoder)
         cfg = dataclasses.replace(

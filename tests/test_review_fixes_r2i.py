@@ -92,3 +92,20 @@ def test_extract_defaults_to_staged_rmvpe(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     # absent here -> warning names the canonical default path
     assert "models/predictors/rmvpe.pt" in out
+
+
+def test_cleanup_previous_run(tmp_path):
+    from rvc_tpu.cli import cleanup_previous_run
+
+    exp = tmp_path / "m"
+    exp.mkdir()
+    for fn in ("G_1.npz", "D_1.npz", "m.index.npz", "metrics.jsonl",
+               "heartbeat.json", "filelist.txt", "config.json", "m_5e.npz"):
+        (exp / fn).write_text("x")
+    n = cleanup_previous_run(str(exp))
+    left = sorted(os.listdir(exp))
+    # training state removed; dataset config + deployable export kept
+    # (reference train.py:377-403 semantics)
+    assert n == 5
+    assert left == ["config.json", "filelist.txt", "m_5e.npz"]
+    assert cleanup_previous_run(str(tmp_path / "missing")) == 0
