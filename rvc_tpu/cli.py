@@ -247,6 +247,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cleanup", type=_bool, default=False,
                    help="remove previous-attempt checkpoints/index/metrics "
                         "before training (reference train.py:377-403)")
+    p.add_argument("--cache_data_in_gpu", type=_bool, default=False,
+                   help="keep the padded dataset resident on the device "
+                        "(reference flag name; here it caches in TPU HBM — "
+                        "steady-state steps then upload zero batch bytes)")
 
     p = sub.add_parser("index", help="Build the retrieval index")
     p.add_argument("--model_name", type=str, required=True)
@@ -401,6 +405,7 @@ def main(argv=None) -> int:
             exp_dir=exp_dir,
             discriminators=args.discriminators,
             use_orbax=args.use_orbax,
+            cache_data=args.cache_data_in_gpu,
             total_epochs=args.total_epoch,
             save_every_epoch=args.save_every_epoch,
             save_only_latest=args.save_only_latest,

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -302,6 +302,63 @@ class BucketBatcher:
             yield pad_batch(
                 [self.dataset[i] for i in idxs], frames, self.dataset.hop_length
             )
+
+
+class DeviceDataCache:
+    """Device-resident padded dataset (reference `--cache_data_in_gpu`,
+    train.py cache path — but TPU-first: the win is much larger behind a
+    remote-attached accelerator, where per-step host->device batch uploads
+    ride a slow tunnel).
+
+    Every non-empty bucket's examples are padded to the bucket boundary and
+    stacked into device arrays ONCE; per-step batches are device-side
+    gathers, so steady-state training moves no batch bytes from the host.
+    Use for datasets that fit in spare HBM — `estimate_bytes` first.
+    """
+
+    def __init__(self, dataset: VCDataset, batcher: "BucketBatcher"):
+        import jax.numpy as jnp
+
+        self.hop_length = dataset.hop_length
+        self.buckets: Dict[int, Dict[str, Any]] = {}
+        self.pos: Dict[int, int] = {}  # dataset idx -> row within its bucket
+        for frames, bucket in zip(batcher.bucket_frames, batcher.buckets):
+            if not bucket:
+                continue
+            frames = min(frames, MAX_FRAMES)
+            rows = [dataset[i] for i in bucket]
+            stacked = pad_batch(rows, frames, dataset.hop_length)
+            # pad_batch sorts rows by length desc; recover the mapping from
+            # dataset index to stacked row via the sorted order it used
+            order = sorted(range(len(rows)),
+                           key=lambda j: -int(rows[j]["length"]))
+            for row_pos, j in enumerate(order):
+                self.pos[bucket[j]] = row_pos
+            self.buckets[frames] = {
+                k: jnp.asarray(v) for k, v in stacked.items()
+            }
+
+    @staticmethod
+    def estimate_bytes(dataset: VCDataset, batcher: "BucketBatcher",
+                       feat_dim: int = 768, spec_dim: int = 1025) -> int:
+        total = 0
+        for frames, bucket in zip(batcher.bucket_frames, batcher.buckets):
+            frames = min(frames, MAX_FRAMES)
+            per = frames * (feat_dim * 4 + 4 + 4 + spec_dim * 4
+                            + dataset.hop_length * 4) + 12
+            total += per * len(bucket)
+        return total
+
+    def batch(self, frames: int, ids: Sequence[int]) -> Dict[str, Any]:
+        """Assemble one batch as device-side gathers (length-desc order,
+        matching pad_batch's collate sort)."""
+        import jax.numpy as jnp
+
+        frames = min(frames, MAX_FRAMES)
+        arrs = self.buckets[frames]
+        rows = sorted((self.pos[i] for i in ids))
+        take = jnp.asarray(np.asarray(rows, np.int32))
+        return {k: jnp.take(v, take, axis=0) for k, v in arrs.items()}
 
 
 def train_val_split(

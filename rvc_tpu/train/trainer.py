@@ -104,6 +104,7 @@ class TrainerArgs:
     # multi-host jobs: orbax sharded checkpoints (each host writes its own
     # shard) alongside the portable host-0 .npz artifacts
     use_orbax: bool = False
+    cache_data: bool = False  # device-resident dataset (ref cache_data_in_gpu)
     batch_size: Optional[int] = None
     optimizer: Optional[str] = None
     warmup_epochs: Optional[int] = None
@@ -195,6 +196,28 @@ class Trainer:
         self.logger = MetricsLogger(args.exp_dir)
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
+
+        self._device_cache = None
+        if args.cache_data:
+            if n_hosts > 1:
+                print("cache_data: multi-host run — per-host device caching "
+                      "is not supported; streaming batches instead")
+            else:
+                from .data import DeviceDataCache
+
+                est = DeviceDataCache.estimate_bytes(
+                    self.train_ds, self.batcher,
+                    spec_dim=cfg.data.spec_channels)
+                limit = 6 << 30  # leave HBM headroom for model + optimizer
+                if est > limit:
+                    print(f"cache_data: dataset ~{est / 1e9:.1f} GB exceeds "
+                          f"the {limit / 1e9:.0f} GB cache budget; streaming "
+                          "batches instead")
+                else:
+                    print(f"cache_data: uploading ~{est / 1e9:.2f} GB of "
+                          "padded examples to the device (one-time)")
+                    self._device_cache = DeviceDataCache(
+                        self.train_ds, self.batcher)
 
     # -- state management ---------------------------------------------------
 
@@ -431,7 +454,16 @@ class Trainer:
         n = 0
         prev_sums = None
         prev_n = 0
-        for batch in self._prefetch(self.batcher(epoch=epoch)):
+        if self._device_cache is not None:
+            # device-resident data: per-step batches are device gathers,
+            # no host->device transfer and no host prefetch thread needed
+            batches = (
+                self._device_cache.batch(frames, ids)
+                for frames, ids in self.batcher.epoch_batches(epoch)
+            )
+        else:
+            batches = self._prefetch(self.batcher(epoch=epoch))
+        for batch in batches:
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.jstep(self.state, self._shard_batch(batch), sub)
             n += 1

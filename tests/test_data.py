@@ -125,3 +125,39 @@ def test_train_val_split_seeded():
     t2, v2 = train_val_split(rows, 0.1, seed=7)
     assert [r.wav_path for r in v1] == [r.wav_path for r in v2]
     assert len(v1) == 2 and len(t1) == 18
+
+
+def test_device_data_cache_matches_streamed_batches(tmp_path):
+    """DeviceDataCache.batch must equal pad_batch for the same plan
+    (distinct lengths -> deterministic collate order)."""
+    import jax
+
+    from rvc_tpu.train.data import (BucketBatcher, DeviceDataCache,
+                                    FileListRow, VCDataset, pad_batch)
+    from rvc_tpu.utils.audio_io import write_wav
+
+    sr, hop = 48000, 480
+    rows = []
+    rng = np.random.default_rng(0)
+    for i, frames in enumerate((60, 80, 120, 150)):
+        wav = (rng.normal(size=frames * hop) * 0.1).astype(np.float32)
+        wp = str(tmp_path / f"{i}.wav")
+        write_wav(wp, wav, sr, subtype="FLOAT")
+        fp = str(tmp_path / f"f{i}.npy")
+        cp = str(tmp_path / f"c{i}.npy")
+        vp = str(tmp_path / f"v{i}.npy")
+        np.save(fp, rng.normal(size=(frames // 2, 768)).astype(np.float32))
+        np.save(cp, rng.integers(1, 255, size=frames).astype(np.int64))
+        np.save(vp, (rng.random(frames) * 300).astype(np.float32))
+        rows.append(FileListRow(wp, fp, cp, vp, 0))
+
+    ds = VCDataset(rows, sr, 2048, hop, 2048)
+    batcher = BucketBatcher(ds, batch_size=2, shuffle=False)
+    cache = DeviceDataCache(ds, batcher)
+    assert DeviceDataCache.estimate_bytes(ds, batcher) > 0
+
+    for frames, ids in batcher.epoch_batches(epoch=0):
+        got = jax.device_get(cache.batch(frames, ids))
+        want = pad_batch([ds[i] for i in ids], min(frames, 900), hop)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)
