@@ -51,10 +51,14 @@ def _ln_out(sd, prefix, p):
     sd[f"{prefix}.beta"] = _np(p["bias"])
 
 
-def _wavenet_out(sd, prefix, p, n_layers):
+def _wavenet_out(sd, prefix, p, n_layers=None):
     if "cond_layer" in p:
         _conv1d_out(sd, f"{prefix}.cond_layer", p["cond_layer"], weight_norm=True)
     stacked = p.get("layers", {})
+    if n_layers is None:
+        flat = _flatten_one(stacked)
+        n_layers = (int(np.asarray(next(iter(flat.values()))).shape[0]) + 1
+                    if flat else 1)
     for i in range(n_layers - 1):
         layer = {k: np.asarray(v)[i] for k, v in _flatten_one(stacked).items()}
         _conv1d_out(sd, f"{prefix}.in_layers.{i}",
@@ -87,11 +91,15 @@ def _unflatten_one(flat, root):
 
 def synthesizer_to_torch_state_dict(
     params: Dict[str, Any],
-    n_enc_layers: int = 6,
-    wn_layers_posterior: int = 16,
-    wn_layers_flow: int = 3,
+    n_enc_layers: Optional[int] = None,
+    wn_layers_posterior: Optional[int] = None,
+    wn_layers_flow: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    """flax Synthesizer params -> torch-style state dict (NSF decoder)."""
+    """flax Synthesizer params -> torch-style state dict (NSF decoder).
+
+    Layer counts default to shape-derived values (scanned-block leading
+    dims / coupling key count), so any model geometry exports without
+    callers having to thread config through."""
     sd: Dict[str, np.ndarray] = {}
 
     # text encoder (scanned blocks -> per-layer keys)
@@ -100,6 +108,8 @@ def synthesizer_to_torch_state_dict(
     if "emb_pitch" in enc:
         sd["enc_p.emb_pitch.weight"] = _np(enc["emb_pitch"]["embedding"])
     blocks = _flatten_one(enc["encoder"]["blocks"])
+    if n_enc_layers is None:
+        n_enc_layers = int(np.asarray(next(iter(blocks.values()))).shape[0])
     for i in range(n_enc_layers):
         layer = {k: np.asarray(v)[i] for k, v in blocks.items()}
         a = f"enc_p.encoder.attn_layers.{i}"
@@ -120,7 +130,8 @@ def synthesizer_to_torch_state_dict(
     _conv1d_out(sd, "enc_p.proj", enc["proj"])
 
     # flow
-    for i in range(4):
+    n_couplings = sum(1 for k in params["flow"] if k.startswith("coupling_"))
+    for i in range(n_couplings):
         c = params["flow"][f"coupling_{i}"]
         t = f"flow.flows.{i * 2}"
         _conv1d_out(sd, f"{t}.pre", c["pre"])

@@ -387,11 +387,8 @@ def test_export_pth_reference_layout(tmp_path):
         jnp.zeros((1,), jnp.int32),
     )
     out = str(tmp_path / "model.pth")
-    export_rvc_pth(
-        vs["params"], out, sr=SR_MODEL, cfg=cfg,
-        epoch=3, step=42, n_enc_layers=cfg.model.n_layers,
-        wn_layers_flow=1, wn_layers_posterior=2,
-    )
+    # no layer-count kwargs: counts must be derived from the params tree
+    export_rvc_pth(vs["params"], out, sr=SR_MODEL, cfg=cfg, epoch=3, step=42)
     cpt = torch.load(out, map_location="cpu", weights_only=True)
     assert "weight" in cpt and "model" not in cpt
     assert len(cpt["config"]) == 18
