@@ -179,8 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="text to speak (or use --input_path)")
     p.add_argument("--tts_voice", type=str, required=True)
     p.add_argument("--tts_rate", type=int, default=0)
-    p.add_argument("--input_path", type=str, default=None,
-                   help="optional text file instead of --tts_text")
+    p.add_argument("--input_path", "--tts_file", dest="input_path",
+                   type=str, default=None,
+                   help="optional text file instead of --tts_text "
+                        "(reference name: --tts_file)")
     p.add_argument("--output_tts_path", type=str, required=True)
     p.add_argument("--output_rvc_path", type=str, required=True)
     _add_infer_args(p)
@@ -214,6 +216,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmvpe_ckpt", type=str,
                    default=os.path.join("models", "predictors", "rmvpe.pt"))
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--cpu_cores", type=int, default=None,
+                   help="host threads for audio decode during extraction")
+    p.add_argument("--gpu", type=str, default="",
+                   help="device index to extract on (reference flag name; "
+                        "first index selects among jax.devices())")
 
     p = sub.add_parser("train", help="Train a model")
     p.add_argument("--model_name", type=str, required=True)
@@ -251,6 +258,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep the padded dataset resident on the device "
                         "(reference flag name; here it caches in TPU HBM — "
                         "steady-state steps then upload zero batch bytes)")
+    p.add_argument("--use_checkpointing", dest="checkpointing", type=_bool,
+                   default=argparse.SUPPRESS,
+                   help="alias of --checkpointing (reference flag name)")
+    p.add_argument("--custom_pretrained", type=_bool, default=False,
+                   help="use --g_pretrained_path/--d_pretrained_path instead "
+                        "of the staged defaults (reference core.py:530-539)")
+    p.add_argument("--use_custom_lr", type=_bool, default=False)
+    p.add_argument("--custom_lr_g", type=float, default=None)
+    p.add_argument("--custom_lr_d", type=float, default=None)
+    p.add_argument("--save_every_weights", type=_bool, default=True,
+                   help="export the deployable weights file on every save "
+                        "epoch (final epoch always exports)")
+    p.add_argument("--gpu", type=str, default="",
+                   help="dash-separated device indices to train on "
+                        "(reference flag name; selects among jax.devices())")
+    p.add_argument("--use_tf32", type=_bool, default=False,
+                   help="CUDA TensorFloat-32 toggle — accepted for CLI "
+                        "compatibility; no effect on TPU (MXU uses bf16)")
+    p.add_argument("--use_benchmark", type=_bool, default=True,
+                   help="cudnn.benchmark toggle — accepted for CLI "
+                        "compatibility; XLA autotunes unconditionally")
+    p.add_argument("--use_deterministic", type=_bool, default=False,
+                   help="reference cudnn.deterministic; JAX/XLA kernels are "
+                        "deterministic by default, so this is always on")
 
     p = sub.add_parser("index", help="Build the retrieval index")
     p.add_argument("--model_name", type=str, required=True)
@@ -273,7 +304,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("download", help="Download a model from a link")
     p.add_argument("--model_link", type=str, required=True)
 
-    sub.add_parser("prerequisites", help="Fetch predictor/pretrain assets")
+    p = sub.add_parser("prerequisites",
+                       help="Fetch predictor/pretrain assets")
+    p.add_argument("--models", type=_bool, default=True,
+                   help="stage predictor/embedder models")
+    p.add_argument("--pretraineds_hifigan", type=_bool, default=True,
+                   help="stage the default HiFi-GAN pretrains")
+    p.add_argument("--exe", type=_bool, default=True,
+                   help="reference: fetch ffmpeg.exe; here: build the "
+                        "native audio engine")
 
     p = sub.add_parser("audio_analyzer", help="Analyze an audio file")
     p.add_argument("--input_path", type=str, required=True)
@@ -358,14 +397,23 @@ def main(argv=None) -> int:
         from .train.extract import run_extraction
 
         exp_dir = os.path.join("logs", args.model_name)
-        run_extraction(
-            exp_dir, f0_method=args.f0_method,
-            rmvpe_ckpt=args.rmvpe_ckpt if os.path.exists(args.rmvpe_ckpt) else None,
-            embedder_ckpt=args.embedder_model_custom,
-            include_mutes=args.include_mutes, sample_rate=args.sample_rate,
-            batch_size=args.batch_size, embedder_model=args.embedder_model,
-            hop_length=args.hop_length,
-        )
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+        if args.gpu:
+            import jax
+
+            idx = int(args.gpu.split("-")[0])
+            ctx = jax.default_device(jax.devices()[idx])
+        with ctx:
+            run_extraction(
+                exp_dir, f0_method=args.f0_method,
+                rmvpe_ckpt=args.rmvpe_ckpt if os.path.exists(args.rmvpe_ckpt) else None,
+                embedder_ckpt=args.embedder_model_custom,
+                include_mutes=args.include_mutes, sample_rate=args.sample_rate,
+                batch_size=args.batch_size, embedder_model=args.embedder_model,
+                hop_length=args.hop_length, cpu_cores=args.cpu_cores,
+            )
         print(f"extraction complete for {exp_dir}")
 
     elif args.mode == "train":
@@ -396,11 +444,33 @@ def main(argv=None) -> int:
         exp_dir = os.path.join("logs", args.model_name)
         pretrain_g = args.g_pretrained_path
         pretrain_d = args.d_pretrained_path
-        if args.pretrained and not (pretrain_g or pretrain_d):
+        if args.pretrained and args.custom_pretrained and not (
+                pretrain_g and pretrain_d):
+            # reference core.py:535-538 errors the same way
+            raise SystemExit(
+                "custom_pretrained requires --g_pretrained_path and "
+                "--d_pretrained_path")
+        if args.pretrained and not args.custom_pretrained and not (
+                pretrain_g or pretrain_d):
             # no custom paths: auto-select the staged default pretrains for
             # this vocoder+sr (reference rvc/lib/tools/pretrained_selector.py)
             pretrain_g, pretrain_d = pretrained_selector(
                 args.vocoder, args.sample_rate)
+        if args.use_custom_lr and (args.custom_lr_g is None
+                                   or args.custom_lr_d is None):
+            # reference train.py:23-31 exits on missing custom LR values
+            raise SystemExit(
+                "use_custom_lr requires --custom_lr_g and --custom_lr_d")
+        if args.use_tf32:
+            print("use_tf32 is CUDA-specific; no effect on TPU (MXU is bf16)")
+        if not args.use_benchmark:
+            print("use_benchmark is CUDA-specific; XLA autotunes regardless")
+        if args.use_deterministic:
+            print("deterministic execution is the JAX/XLA default; enabled")
+        device_indices = None
+        if args.gpu:
+            device_indices = tuple(
+                int(i) for i in args.gpu.split("-") if i != "")
         targs = TrainerArgs(
             exp_dir=exp_dir,
             discriminators=args.discriminators,
@@ -409,6 +479,10 @@ def main(argv=None) -> int:
             total_epochs=args.total_epoch,
             save_every_epoch=args.save_every_epoch,
             save_only_latest=args.save_only_latest,
+            save_every_weights=args.save_every_weights,
+            lr_g=args.custom_lr_g if args.use_custom_lr else None,
+            lr_d=args.custom_lr_d if args.use_custom_lr else None,
+            device_indices=device_indices,
             pretrain_g=pretrain_g if args.pretrained else "",
             pretrain_d=pretrain_d if args.pretrained else "",
         )
@@ -463,7 +537,9 @@ def main(argv=None) -> int:
     elif args.mode == "prerequisites":
         from .utils.downloads import prerequisites_download_pipeline
 
-        prerequisites_download_pipeline()
+        prerequisites_download_pipeline(
+            pretraineds_hifigan=args.pretraineds_hifigan,
+            models=args.models, exe=args.exe)
 
     elif args.mode == "audio_analyzer":
         from .utils.analyzer import analyze_audio

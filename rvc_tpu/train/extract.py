@@ -168,8 +168,13 @@ def run_extraction(
     batch_size: int = 8,
     embedder_model: str = "contentvec",
     hop_length: int = HOP,
+    cpu_cores: Optional[int] = None,
 ) -> None:
-    """Run both phases + write config.json and filelist.txt."""
+    """Run both phases + write config.json and filelist.txt.
+
+    `cpu_cores` parallelizes the host-side audio decode (the reference
+    spreads files over a process pool, extract.py:141-153; here the device
+    batches the compute, so threads cover only the wav decode)."""
     wav16_dir = os.path.join(exp_dir, "sliced_audios_16k")
     f0_dir = os.path.join(exp_dir, "f0")
     f0v_dir = os.path.join(exp_dir, "f0_voiced")
@@ -190,12 +195,21 @@ def run_extraction(
     # save bounds memory with no throughput loss (device batching is per
     # batch_size slice either way).
     chunk_files = max(1, batch_size) * 8
+    pool = None
+    if cpu_cores and cpu_cores > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=cpu_cores)
+
+    def _decode(chunk: List[str]) -> List[np.ndarray]:
+        paths = [os.path.join(wav16_dir, f"{n}.wav") for n in chunk]
+        if pool is not None:
+            return list(pool.map(lambda p: load_audio(p, SR16K), paths))
+        return [load_audio(p, SR16K) for p in paths]
+
     for c0 in range(0, len(names), chunk_files):
         chunk = names[c0 : c0 + chunk_files]
-        wavs = [
-            load_audio(os.path.join(wav16_dir, f"{n}.wav"), SR16K)
-            for n in chunk
-        ]
+        wavs = _decode(chunk)
         for n, f0 in zip(chunk, fx.compute_f0_batch(wavs)):
             np.save(os.path.join(f0v_dir, f"{n}.wav.npy"), f0,
                     allow_pickle=False)
@@ -206,6 +220,8 @@ def run_extraction(
         for n, emb in zip(chunk, fx.compute_embeddings_batch(wavs)):
             np.save(os.path.join(emb_dir, f"{n}.npy"), emb,
                     allow_pickle=False)
+    if pool is not None:
+        pool.shutdown()
 
     generate_config(exp_dir, sample_rate)
     generate_filelist(exp_dir, include_mutes=include_mutes, extractor=fx)

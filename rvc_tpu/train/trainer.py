@@ -20,7 +20,7 @@ import os
 import re
 import threading
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +108,15 @@ class TrainerArgs:
     batch_size: Optional[int] = None
     optimizer: Optional[str] = None
     warmup_epochs: Optional[int] = None
+    # custom per-network LRs (reference --use_custom_lr/--custom_lr_g/_d,
+    # train.py:662-668); None = the config's shared learning_rate
+    lr_g: Optional[float] = None
+    lr_d: Optional[float] = None
+    # export the deployable weights file on every save epoch (reference
+    # --save_every_weights; the final epoch always exports)
+    save_every_weights: bool = True
+    # restrict the mesh to these jax.devices() indices (reference --gpu)
+    device_indices: Optional[Tuple[int, ...]] = None
     seed: int = 1234
 
 
@@ -174,22 +183,31 @@ class Trainer:
 
             self.model_d = build_discriminator(names, cfg.data.sample_rate)
 
-        sched = make_epoch_lr_schedule(
-            cfg.train.learning_rate, spe, cfg.train.warmup_epochs, cfg.train.lr_decay
+        sched_g = make_epoch_lr_schedule(
+            args.lr_g or cfg.train.learning_rate, spe,
+            cfg.train.warmup_epochs, cfg.train.lr_decay,
         )
-        self.tx_g = make_optimizer(cfg.train.optimizer, sched)
-        self.tx_d = make_optimizer(cfg.train.optimizer, sched)
+        sched_d = sched_g if args.lr_d is None else make_epoch_lr_schedule(
+            args.lr_d, spe, cfg.train.warmup_epochs, cfg.train.lr_decay,
+        )
+        self.tx_g = make_optimizer(cfg.train.optimizer, sched_g)
+        self.tx_d = make_optimizer(cfg.train.optimizer, sched_d)
 
         self.step_fn = make_train_step(
             cfg, self.model_g, self.model_d, self.tx_g, self.tx_d, spe,
-            lr_schedule=sched,
+            lr_schedule=sched_g,
         )
 
         from ..parallel import make_mesh_for_batch, shard_batch, shard_train_step
 
+        mesh_devices = None
+        if args.device_indices is not None:
+            all_devices = jax.devices()
+            mesh_devices = [all_devices[i] for i in args.device_indices]
         # global batch = per-host batch x hosts (BucketBatcher yields
         # batch_size rows per host; shard_batch assembles the global array)
-        self.mesh = make_mesh_for_batch(cfg.train.batch_size * n_hosts)
+        self.mesh = make_mesh_for_batch(
+            cfg.train.batch_size * n_hosts, devices=mesh_devices)
         self.jstep = shard_train_step(self.step_fn, self.mesh)
         self._shard_batch = lambda b: shard_batch(b, self.mesh)
 
@@ -346,37 +364,42 @@ class Trainer:
             meta,
         )
         # deployable weights-only export (extract_model.py parity: fp16
-        # weights, no posterior encoder, embedded metadata)
-        deploy = {
-            k: v for k, v in self.state.params_g.items() if k != "enc_q"
-        }
-        deploy = jax.tree.map(lambda a: np.asarray(a, np.float16), deploy)
+        # weights, no posterior encoder, embedded metadata); gated per save
+        # epoch by save_every_weights (reference train.py:1418), final
+        # epoch always exports
         model_name = os.path.basename(os.path.normpath(self.args.exp_dir))
-        save_checkpoint(
-            os.path.join(self.args.exp_dir, f"{model_name}_{epoch}e.npz"),
-            deploy,
-            {**meta, "f0": int(self.cfg.model.use_f0),
-             "version": "v2", "epochs": epoch},
-        )
-        if self.cfg.model.vocoder == "HiFi-GAN":
-            # reference-loadable deployable (.pth, extract_model.py format);
-            # the exporter covers the NSF decoder only
-            try:
-                from ..utils.export_torch import export_rvc_pth
+        if self.args.save_every_weights or epoch >= self.args.total_epochs:
+            deploy = {
+                k: v for k, v in self.state.params_g.items() if k != "enc_q"
+            }
+            deploy = jax.tree.map(lambda a: np.asarray(a, np.float16), deploy)
+            save_checkpoint(
+                os.path.join(self.args.exp_dir, f"{model_name}_{epoch}e.npz"),
+                deploy,
+                {**meta, "f0": int(self.cfg.model.use_f0),
+                 "version": "v2", "epochs": epoch},
+            )
+            if self.cfg.model.vocoder == "HiFi-GAN":
+                # reference-loadable deployable (.pth, extract_model.py
+                # format); the exporter covers the NSF decoder only
+                try:
+                    from ..utils.export_torch import export_rvc_pth
 
-                export_rvc_pth(
-                    jax.device_get(self.state.params_g),
-                    os.path.join(self.args.exp_dir, f"{model_name}_{epoch}e.pth"),
-                    sr=self.cfg.data.sample_rate,
-                    vocoder=self.cfg.model.vocoder,
-                    cfg=self.cfg,
-                    epoch=epoch,
-                    step=int(self.state.step),
-                    name=model_name,
-                    n_enc_layers=self.cfg.model.n_layers,
-                )
-            except Exception as e:
-                print(f".pth deployable export skipped ({e})")
+                    export_rvc_pth(
+                        jax.device_get(self.state.params_g),
+                        os.path.join(self.args.exp_dir,
+                                     f"{model_name}_{epoch}e.pth"),
+                        sr=self.cfg.data.sample_rate,
+                        vocoder=self.cfg.model.vocoder,
+                        cfg=self.cfg,
+                        epoch=epoch,
+                        step=int(self.state.step),
+                        name=model_name,
+                        n_enc_layers=self.cfg.model.n_layers,
+                    )
+                except Exception as e:
+                    print(f".pth deployable export skipped ({e})")
+        if self.cfg.model.vocoder == "HiFi-GAN":
             # full-format G ckpt: the layout the reference's pretrained-G
             # path strict-loads (train.py:755-765) for fine-tuning
             try:

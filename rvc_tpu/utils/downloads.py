@@ -36,18 +36,20 @@ _ASSET_URLS.update({
 
 
 def prerequisites_download_pipeline(
-    pretraineds_hifigan: bool = True, models: bool = True
+    pretraineds_hifigan: bool = True, models: bool = True, exe: bool = True
 ) -> None:
     """Fetch predictor + pretrain assets (reference pulls from HF,
     prerequisites_download.py:6-39). Offline: report what is missing and
-    where to place it."""
+    where to place it. `exe` (reference: ffmpeg.exe) here builds the
+    native audio engine."""
     os.makedirs(os.path.join(MODELS_DIR, "predictors"), exist_ok=True)
     os.makedirs(os.path.join(MODELS_DIR, "pretraineds"), exist_ok=True)
-    # build the native audio engine while we're here (needs only g++)
-    from . import native
+    if exe:
+        # build the native audio engine (needs only g++)
+        from . import native
 
-    if native.available():
-        print("native audio engine ready")
+        if native.available():
+            print("native audio engine ready")
     missing = []
     if models:
         for name in PREDICTORS:

@@ -53,6 +53,44 @@ def test_tts_flags():
     assert args.tts_rate == -10
 
 
+def test_train_reference_flag_aliases():
+    """Round-2 parity: custom LR / device / save_every_weights / CUDA-knob
+    acceptance (reference core.py:530-640, train.py:23-31)."""
+    args = P.parse_args([
+        "train", "--model_name", "m", "--sample_rate", "48000",
+        "--use_custom_lr", "true", "--custom_lr_g", "1e-4",
+        "--custom_lr_d", "2e-4", "--gpu", "0-1",
+        "--save_every_weights", "false", "--custom_pretrained", "true",
+        "--use_tf32", "false", "--use_benchmark", "true",
+        "--use_deterministic", "true", "--use_checkpointing", "true",
+    ])
+    assert args.custom_lr_g == 1e-4 and args.custom_lr_d == 2e-4
+    assert args.gpu == "0-1" and not args.save_every_weights
+    assert args.checkpointing is True  # --use_checkpointing alias
+
+
+def test_extract_and_prerequisites_flags():
+    args = P.parse_args([
+        "extract", "--model_name", "m", "--sample_rate", "40000",
+        "--cpu_cores", "4", "--gpu", "0",
+    ])
+    assert args.cpu_cores == 4 and args.gpu == "0"
+    args = P.parse_args([
+        "prerequisites", "--models", "true",
+        "--pretraineds_hifigan", "false", "--exe", "false",
+    ])
+    assert args.models and not args.pretraineds_hifigan and not args.exe
+
+
+def test_tts_file_alias():
+    args = P.parse_args([
+        "tts", "--tts_voice", "v", "--tts_file", "in.txt",
+        "--output_tts_path", "t.wav", "--output_rvc_path", "o.wav",
+        "--pth_path", "m.npz",
+    ])
+    assert args.input_path == "in.txt"
+
+
 def test_invalid_choices_rejected():
     with pytest.raises(SystemExit):
         P.parse_args(["train", "--model_name", "m", "--sample_rate", "44100"])
