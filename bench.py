@@ -159,9 +159,14 @@ def bench_full_pipeline() -> dict:
             sid=0, index_vectors=index_vectors, index_rate=0.75,
             protect=0.33, pitch_shift=2, filter_radius=3,
         )
+        # warmup (same program as above): a FULL-size batch, so the first
+        # timed batch doesn't pay one-time costs the steady state never
+        # sees again (allocator growth for `depth` in-flight buffers, the
+        # tunnel's transfer-path warmup) — measured 65x vs 146/190x on the
+        # first timed batch when warming with only 2 files.
         outs = pipe.voice_conversion_fused_stream(
-            raw[:2], rng=jax.random.PRNGKey(3), prep=_prep, **vc_kwargs,
-        )  # warmup (same program as above; warms the dispatch path)
+            raw, rng=jax.random.PRNGKey(3), prep=_prep, **vc_kwargs,
+        )
         assert all(np.isfinite(o).all() for o in outs)
         # timed region includes the per-file host DSP (high-pass + pad),
         # applied inside the dispatch loop so it overlaps device compute —

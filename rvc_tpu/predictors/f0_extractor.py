@@ -132,6 +132,22 @@ class F0Extractor:
             predictor = build_predictors((self.method,))[self.method]
         return np.asarray(predictor(audio))
 
+    def to_midi(self, output_path: Optional[str] = None,
+                tempo: Optional[float] = None,
+                f0: Optional[np.ndarray] = None) -> list:
+        """Transcribe the extracted contour to MIDI note segments (and a
+        .mid file). Reference surface: torchfcpe models_infer.py:255
+        extract_f0_to_midi -> f02midi; tempo estimated from the audio when
+        not given."""
+        from .f0_midi import f0_to_midi
+
+        if f0 is None:
+            f0 = self.extract_f0()
+        audio = load_audio(self.wav_path, SR)
+        out = output_path or self.wav_path.rsplit(".", 1)[0] + ".mid"
+        return f0_to_midi(f0, tempo=tempo, audio=audio, sr=SR,
+                          output_path=out)
+
     def plot_f0(self, f0: Optional[np.ndarray] = None,
                 save_path: Optional[str] = None) -> Optional[str]:
         if f0 is None:

@@ -587,16 +587,25 @@ def utilities_tab(gr, i18n):
         audio2 = gr.Audio(label=i18n("Upload Audio"), type="filepath")
         method = gr.Radio(["rmvpe", "fcpe", "yin"], value="rmvpe",
                           label=i18n("Pitch extraction algorithm"))
+        midi = gr.Checkbox(label=i18n("Also transcribe to MIDI"),
+                           value=False)
         btn2 = gr.Button(i18n("Extract F0 Curve"))
         plot2 = gr.Image(label=i18n("Plot"))
+        midi_file = gr.File(label=i18n("MIDI transcription"))
 
-        def do_f0(path, m):
+        def do_f0(path, m, want_midi):
             from ..predictors.f0_extractor import F0Extractor
 
             ex = F0Extractor(path, method=m)
-            return ex.plot_f0(save_path=os.path.join("logs", "f0.png"))
+            f0 = ex.extract_f0()
+            png = ex.plot_f0(f0=f0, save_path=os.path.join("logs", "f0.png"))
+            midi_path = None
+            if want_midi:
+                midi_path = os.path.join("logs", "f0.mid")
+                ex.to_midi(output_path=midi_path, f0=f0)
+            return png, midi_path
 
-        btn2.click(do_f0, [audio2, method], [plot2])
+        btn2.click(do_f0, [audio2, method, midi], [plot2, midi_file])
 
     with gr.Accordion(i18n("Model Information")):
         pth = gr.Dropdown(label=i18n("Voice Model"), choices=_model_choices())
