@@ -8,16 +8,19 @@ latent [B, T, 360]; local-argmax cents decode over a linspace cent table,
 f0 = 10 * 2^(cents/1200), confidence threshold 0.05. Mel front: 128 log-mels
 @16k, win 1024, hop 160.
 
-Design note: torchfcpe's attention is a Performer ("fast attention") random-
-feature approximation of softmax attention (model_conformer_naive.py:184-260).
-Here it is exact softmax attention over the same q/k/v/out parameterization —
-checkpoint-compatible and strictly closer to the softmax limit the Performer
-approximates; on TPU the exact form is also faster at these lengths.
+Attention is the Performer ("fast attention") FAVOR+ random-feature scheme,
+numerically matched to model_conformer_naive.py:184-372 (softmax_kernel with
+its query max-shift / key `exp(.. + eps)` asymmetry, the 1e-8-regularized
+linear_attention normalizer, and the gaussian-orthogonal projection buffer)
+so that trained fcpe.pt checkpoints — whose weights were fitted *under* the
+approximation — reproduce bit-close f0 contours. The projection matrix is
+loaded from the checkpoint's `fast_attention.projection_matrix` buffer.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -68,31 +71,94 @@ class ConformerConvModule(nn.Module):
         return nn.Conv(self.dim, (1,), name="pw2")(y)
 
 
+def gaussian_orthogonal_matrix(
+    key: jax.Array, nb_rows: int, nb_columns: int
+) -> jax.Array:
+    """FAVOR+ projection init (model_conformer_naive.py:389-420, scaling=0):
+    stacked QR-orthogonalized gaussian blocks, rows rescaled to chi(d) norms."""
+    n_blocks = (nb_rows + nb_columns - 1) // nb_columns
+    keys = jax.random.split(key, n_blocks + 1)
+    blocks = []
+    for i in range(n_blocks):
+        g = jax.random.normal(keys[i], (nb_columns, nb_columns))
+        q, _ = jnp.linalg.qr(g)
+        blocks.append(q.T)
+    mat = jnp.concatenate(blocks, axis=0)[:nb_rows]
+    mult = jnp.linalg.norm(
+        jax.random.normal(keys[-1], (nb_rows, nb_columns)), axis=1
+    )
+    return mult[:, None] * mat
+
+
+def _softmax_kernel(
+    data: jax.Array, proj: jax.Array, is_query: bool, eps: float = 1e-4
+) -> jax.Array:
+    """phi(x) random features (model_conformer_naive.py:356-386). Note the
+    reference's asymmetry: queries get a max-shift inside exp and `+ eps`
+    outside; keys get `+ eps` *inside* the exp and no shift — matched
+    verbatim because fcpe.pt was trained under exactly this function."""
+    d = data.shape[-1]
+    normalizer = d ** -0.25
+    ratio = proj.shape[0] ** -0.5
+    data_dash = jnp.einsum(
+        "...id,jd->...ij", normalizer * data, proj,
+        preferred_element_type=jnp.float32,
+    )
+    diag = (jnp.sum(data * data, axis=-1, keepdims=True) / 2.0) * normalizer**2
+    if is_query:
+        shift = jnp.max(data_dash, axis=-1, keepdims=True)
+        return ratio * (jnp.exp(data_dash - diag - shift) + eps)
+    return ratio * jnp.exp(data_dash - diag + eps)
+
+
 class FCPEAttention(nn.Module):
-    """Exact softmax attention over torchfcpe's to_q/k/v/out parameterization
-    (bias-free projections)."""
+    """Performer FAVOR+ attention over torchfcpe's to_q/k/v/out
+    parameterization (model_conformer_naive.py:184-353). `dim_head` is a
+    fixed 64 in the reference regardless of dim/heads (SelfAttention
+    signature), so inner_dim = heads * 64 may exceed `dim`."""
 
     dim: int
     heads: int = 8
+    dim_head: int = 64
+    use_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, _ = x.shape
-        d = self.dim // self.heads
-        q = nn.Dense(self.dim, use_bias=False, name="to_q")(x)
-        k = nn.Dense(self.dim, use_bias=False, name="to_k")(x)
-        v = nn.Dense(self.dim, use_bias=False, name="to_v")(x)
+        d = self.dim_head
+        inner = self.heads * d
+        nb_features = int(d * math.log(d))
+        proj = self.param(
+            "projection_matrix",
+            lambda key, shape: gaussian_orthogonal_matrix(key, *shape),
+            (nb_features, d),
+        )
+        proj = jax.lax.stop_gradient(proj)  # buffer, not a weight
+        q = nn.Dense(inner, name="to_q")(x)
+        k = nn.Dense(inner, name="to_k")(x)
+        v = nn.Dense(inner, name="to_v")(x)
 
         def split(a):
             return a.reshape(b, t, self.heads, d).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum(
-            "bhtd,bhsd->bhts", q * (d**-0.5), k,
-            preferred_element_type=jnp.float32,
+        if self.use_norm:
+            q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+            k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-8)
+        qp = _softmax_kernel(q, proj, is_query=True)
+        kp = _softmax_kernel(k, proj, is_query=False)
+        # linear_attention (model_conformer_naive.py:336-353): two matmuls
+        # instead of the T×T score matrix — MXU-friendly, O(T·m·d)
+        k_sum = jnp.sum(kp, axis=-2)
+        d_inv = 1.0 / (
+            jnp.einsum("bhnm,bhm->bhn", qp, k_sum,
+                       preferred_element_type=jnp.float32) + 1e-8
         )
-        out = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(scores, axis=-1), v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        context = jnp.einsum("bhnm,bhne->bhme", kp, v,
+                             preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhme,bhnm,bhn->bhne", context, qp, d_inv,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         return nn.Dense(self.dim, name="to_out")(out)
 
 
@@ -100,12 +166,15 @@ class CFNEncoderLayer(nn.Module):
     dim: int
     heads: int = 8
     conv_only: bool = False
+    use_fa_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if not self.conv_only:
             y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-            x = x + FCPEAttention(self.dim, self.heads, name="attn")(y)
+            x = x + FCPEAttention(
+                self.dim, self.heads, use_norm=self.use_fa_norm, name="attn"
+            )(y)
         x = x + ConformerConvModule(self.dim, name="conformer")(x)
         return x
 
@@ -117,6 +186,7 @@ class CFNaiveMelPE(nn.Module):
     n_layers: int = 6
     n_heads: int = 8
     conv_only: bool = False
+    use_fa_norm: bool = False
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -127,7 +197,8 @@ class CFNaiveMelPE(nn.Module):
         h = nn.Conv(self.hidden_dims, (3,), padding=1, name="in_conv2")(h)
         for i in range(self.n_layers):
             h = CFNEncoderLayer(
-                self.hidden_dims, self.n_heads, self.conv_only, name=f"layer_{i}"
+                self.hidden_dims, self.n_heads, self.conv_only,
+                self.use_fa_norm, name=f"layer_{i}"
             )(h)
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         # weight-normed output projection (models.py:85-87): fold g into the
@@ -194,14 +265,24 @@ class FCPE:
         obj = torch.load(path, map_location="cpu", weights_only=True)
         sd = obj.get("model", obj) if isinstance(obj, dict) else obj
         sd = {k: v for k, v in sd.items()}
+        cfg = (obj.get("config_dict") or {}).get("model", {}) \
+            if isinstance(obj, dict) else {}
         # architecture from the checkpoint: hidden width, depth, conv_only
         hidden = int(sd["input_stack.0.weight"].shape[0])
         n_layers = 0
         while f"net.encoder_layers.{n_layers}.conformer.net.0.weight" in sd:
             n_layers += 1
         conv_only = "net.encoder_layers.0.attn.to_q.weight" not in sd
+        if not conv_only:
+            # inner_dim = heads * 64 (SelfAttention's fixed dim_head=64)
+            inner = int(sd["net.encoder_layers.0.attn.to_q.weight"].shape[0])
+            n_heads = int(cfg.get("n_heads", inner // 64))
+        else:
+            n_heads = int(cfg.get("n_heads", 8))
         model = CFNaiveMelPE(
-            hidden_dims=hidden, n_layers=n_layers, conv_only=conv_only
+            hidden_dims=hidden, n_layers=n_layers, n_heads=n_heads,
+            conv_only=conv_only,
+            use_fa_norm=bool(cfg.get("use_fa_norm", False)),
         )
         return cls(convert_torch_fcpe(sd), model=model)
 
@@ -293,10 +374,25 @@ def convert_torch_fcpe(state_dict: Dict[str, Any]) -> Dict[str, Any]:
                 "scale": sd[f"{pre}.norm.weight"],
                 "bias": sd[f"{pre}.norm.bias"],
             }
+            proj_key = f"{pre}.attn.fast_attention.projection_matrix"
+            if proj_key in sd:
+                proj = sd[proj_key]
+            else:  # ancient ckpt without the buffer: deterministic redraw
+                d = int(sd[f"{pre}.attn.to_q.weight"].shape[0])
+                d_head = 64 if d % 64 == 0 else d
+                proj = np.asarray(gaussian_orthogonal_matrix(
+                    jax.random.PRNGKey(0), int(d_head * math.log(d_head)),
+                    d_head,
+                ))
             layer["attn"] = {
-                "to_q": {"kernel": sd[f"{pre}.attn.to_q.weight"].T},
-                "to_k": {"kernel": sd[f"{pre}.attn.to_k.weight"].T},
-                "to_v": {"kernel": sd[f"{pre}.attn.to_v.weight"].T},
+                "projection_matrix": proj,
+                # torch nn.Linear default bias=True on all four projections
+                "to_q": {"kernel": sd[f"{pre}.attn.to_q.weight"].T,
+                         "bias": sd[f"{pre}.attn.to_q.bias"]},
+                "to_k": {"kernel": sd[f"{pre}.attn.to_k.weight"].T,
+                         "bias": sd[f"{pre}.attn.to_k.bias"]},
+                "to_v": {"kernel": sd[f"{pre}.attn.to_v.weight"].T,
+                         "bias": sd[f"{pre}.attn.to_v.bias"]},
                 "to_out": {
                     "kernel": sd[f"{pre}.attn.to_out.weight"].T,
                     "bias": sd[f"{pre}.attn.to_out.bias"],

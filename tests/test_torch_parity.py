@@ -6,12 +6,13 @@ outputs — proving that real reference checkpoints (rmvpe.pt, fcpe.pt,
 deployable .pth models) load into this framework bit-faithfully.
 
 Covered:      Synthesizer.infer (all 3 vocoders + rate arg + training fwd),
-              RMVPE end-to-end, torchfcpe CFNaiveMelPE (conv_only) + mel
-              front + local-argmax decoder, mel_processing numerics
+              RMVPE end-to-end, torchfcpe CFNaiveMelPE (full conformer with
+              Performer/FAVOR+ attention, plus conv_only) + mel front +
+              local-argmax decoder, mel_processing numerics
               (spectrogram / mel / multi-scale loss).
-Not covered:  torchcrepe (wheel absent in this env — converter follows the
-              published torchcrepe layout), the torchfcpe Performer attention
-              (replaced by exact softmax, documented in predictors/fcpe.py).
+Not covered:  torchcrepe forward (wheel absent in this env — the converter
+              is validated against a vendored state-dict manifest instead,
+              see test_crepe_layout below / tests/golden).
 
 librosa is stubbed with the reference's own vendored copy
 (torchfcpe/mel_fn_librosa.py), so filterbank parity is tested against a
@@ -222,10 +223,46 @@ def test_fcpe_mel_front_parity():
     assert np.abs(mel_ref - mel_our).max() < 1e-3
 
 
+def test_fcpe_full_conformer_parity(tmp_path):
+    """CFNaiveMelPE forward with the real Performer (FAVOR+) attention
+    (model_conformer_naive.py:184-372) — the bundled fcpe.pt architecture.
+    The projection_matrix buffer is carried through the checkpoint, so our
+    FAVOR+ must reproduce torch's random-feature outputs, not just
+    approximate softmax."""
+    from rvc.lib.predictors.torchfcpe.models import CFNaiveMelPE as TorchPE
+
+    from rvc_tpu.predictors.fcpe import FCPE
+
+    for use_fa_norm in (False, True):
+        torch.manual_seed(0)
+        tm = TorchPE(
+            input_channels=128, out_dims=360, hidden_dims=64, n_layers=2,
+            n_heads=2, f0_max=1975.5, f0_min=32.70, conv_only=False,
+            use_fa_norm=use_fa_norm,
+        ).eval()
+        pt = str(tmp_path / f"fcpe_full_{use_fa_norm}.pt")
+        torch.save({
+            "model": tm.state_dict(),
+            "config_dict": {"model": {"n_heads": 2,
+                                      "use_fa_norm": use_fa_norm}},
+        }, pt)
+        ours = FCPE.from_torch_checkpoint(pt)
+        assert not ours.model.conv_only and ours.model.n_heads == 2
+        assert ours.model.use_fa_norm == use_fa_norm
+
+        rng = np.random.default_rng(7)
+        mel = rng.normal(size=(1, 96, 128)).astype(np.float32)
+        with torch.no_grad():
+            lat_ref = tm(torch.from_numpy(mel)).numpy()
+        lat_our = np.asarray(ours.model.apply({"params": ours.params},
+                                              jnp.asarray(mel)))
+        err = np.abs(lat_ref - lat_our).max()
+        assert err < 1e-3, f"Performer parity (use_fa_norm={use_fa_norm}): {err}"
+
+
 def test_fcpe_model_and_decoder_parity(tmp_path):
-    """CFNaiveMelPE forward (conv_only, the bundled-release architecture
-    cannot be matched in its Performer branch — documented) + the
-    local-argmax cents decoder (models.py:149-180)."""
+    """CFNaiveMelPE forward (conv_only variant) + the local-argmax cents
+    decoder (models.py:149-180)."""
     from rvc.lib.predictors.torchfcpe.models import CFNaiveMelPE as TorchPE
 
     from rvc_tpu.predictors.fcpe import FCPE, decode_latent
