@@ -214,3 +214,63 @@ def test_batched_segment_conversion_matches_single():
     assert len(batch_out[1]) == len(single_b)
     np.testing.assert_allclose(batch_out[0], single_a, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(batch_out[1], single_b, rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_long_audio_matches_serial():
+    """voice_conversion_stream (the windowed >t_max path's pipelined
+    dispatcher) must be bit-identical to per-segment voice_conversion, and
+    pipeline() on long audio must produce the same as the serial
+    composition."""
+    from rvc_tpu.infer.pipeline import Pipeline, PipelineConfig
+
+    cfg = _tiny_cfg()
+    model = dataclasses.replace(
+        Synthesizer.from_config(cfg), posterior_layers=2, flow_layers=1,
+        zero_noise=True,
+    )
+    t = 20
+    rng = np.random.default_rng(0)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(rng.normal(size=(1, t, 768)), jnp.float32),
+        jnp.asarray([t], jnp.int32),
+        jnp.full((1, t), 100, jnp.int32),
+        jnp.full((1, t), 220.0, jnp.float32),
+        jnp.zeros((1, t, cfg.data.spec_channels)),
+        jnp.asarray([t], jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    emb = TinyEmbedder()
+    emb_params = {"proj": jnp.asarray(
+        rng.normal(size=(400, 768)) * 0.01, jnp.float32
+    )}
+    pipe = Pipeline(
+        SR_MODEL, model, vs["params"], emb, emb_params,
+        PipelineConfig(x_pad=1, x_query=2, x_center=4, x_max=5),
+        upsample_factor=cfg.upsample_factor,
+    )
+
+    # three segments of different lengths, with and without pitch
+    tt = np.arange(16000 * 2) / 16000
+    segs = [
+        (0.3 * np.sin(2 * np.pi * 220 * tt)).astype(np.float32),
+        (0.2 * np.sin(2 * np.pi * 330 * tt[:24000])).astype(np.float32),
+        (0.25 * np.sin(2 * np.pi * 180 * tt[:17500])).astype(np.float32),
+    ]
+    pits = [np.full(len(s) // 160, 120, np.int32) for s in segs]
+    pifs = [np.full(len(s) // 160, 220.0, np.float32) for s in segs]
+    subs = list(jax.random.split(jax.random.PRNGKey(3), len(segs)))
+
+    streamed = pipe.voice_conversion_stream(
+        segs, pits, pifs, 0, None, 0.0, 0.5, subs, depth=2,
+    )
+    for i, (seg, pit, pif, sub) in enumerate(zip(segs, pits, pifs, subs)):
+        serial = pipe.voice_conversion(seg, pit, pif, 0, None, 0.0, 0.5, sub)
+        np.testing.assert_array_equal(streamed[i], serial)
+
+    # integration: >t_max audio routes through the streamed path
+    long_audio = np.concatenate(segs + segs)  # ~11.6 s > t_max=5 s
+    out = pipe.pipeline(long_audio, sid=0, pitch_shift=0, f0_method="yin")
+    expected = len(long_audio) / 16000 * SR_MODEL
+    assert abs(len(out) - expected) / expected < 0.1
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
