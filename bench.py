@@ -164,10 +164,15 @@ def bench_full_pipeline() -> dict:
         # sees again (allocator growth for `depth` in-flight buffers, the
         # tunnel's transfer-path warmup) — measured 65x vs 146/190x on the
         # first timed batch when warming with only 2 files.
+        t0 = time.perf_counter()
         outs = pipe.voice_conversion_fused_stream(
             raw, rng=jax.random.PRNGKey(3), prep=_prep, **vc_kwargs,
         )
+        cold_dt = (time.perf_counter() - t0) / K
         assert all(np.isfinite(o).all() for o in outs)
+        # keep the cold view too: first-batch throughput including the
+        # one-time costs (allocator growth, transfer-path warmup)
+        record["stream_xrt_cold"] = round(seconds / cold_dt, 1)
         # timed region includes the per-file host DSP (high-pass + pad),
         # applied inside the dispatch loop so it overlaps device compute —
         # the shape of a real conversion server. Median of 3 batches: the

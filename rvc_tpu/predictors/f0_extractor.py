@@ -143,7 +143,9 @@ class F0Extractor:
 
         if f0 is None:
             f0 = self.extract_f0()
-        audio = load_audio(self.wav_path, SR)
+        # f0_to_midi only consults the audio for tempo estimation; skip the
+        # decode when the caller fixed the tempo
+        audio = load_audio(self.wav_path, SR) if tempo is None else None
         out = output_path or self.wav_path.rsplit(".", 1)[0] + ".mid"
         return f0_to_midi(f0, tempo=tempo, audio=audio, sr=SR,
                           output_path=out)

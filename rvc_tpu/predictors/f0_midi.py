@@ -254,6 +254,7 @@ def read_midi_notes(path: str) -> List[Segment]:
         length = int.from_bytes(data[pos + 4:pos + 8], "big")
         p, end = pos + 8, pos + 8 + length
         tick = 0
+        sec = 0.0
         status = 0
         active: dict = {}
         while p < end:
@@ -263,6 +264,9 @@ def read_midi_notes(path: str) -> List[Segment]:
                 delta = (delta << 7) | (b & 0x7F)
                 if not b & 0x80:
                     break
+            # accumulate seconds under the tempo in effect DURING this
+            # delta, so notes after a mid-track tempo change stay correct
+            sec += delta * 60.0 / (tempo * division)
             tick += delta
             b = data[p]
             if b & 0x80:
@@ -291,13 +295,11 @@ def read_midi_notes(path: str) -> List[Segment]:
                 kind = status & 0xF0
                 n_data = 1 if kind in (0xC0, 0xD0) else 2
                 d = data[p:p + n_data]; p += n_data
-                s_per_tick = 60.0 / (tempo * division)
                 if kind == 0x90 and d[1] > 0:
-                    active[d[0]] = tick
+                    active[d[0]] = sec
                 elif kind == 0x80 or (kind == 0x90 and d[1] == 0):
                     if d[0] in active:
-                        notes.append((active.pop(d[0]) * s_per_tick,
-                                      tick * s_per_tick, int(d[0])))
+                        notes.append((active.pop(d[0]), sec, int(d[0])))
         pos = end
     notes.sort()
     return notes

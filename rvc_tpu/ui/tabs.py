@@ -598,6 +598,7 @@ def utilities_tab(gr, i18n):
 
             ex = F0Extractor(path, method=m)
             f0 = ex.extract_f0()
+            os.makedirs("logs", exist_ok=True)
             png = ex.plot_f0(f0=f0, save_path=os.path.join("logs", "f0.png"))
             midi_path = None
             if want_midi:

@@ -62,10 +62,11 @@ def summarize_xplane(trace_dir: str, top: int = 40) -> list[dict]:
     rows.sort(key=lambda r: -(r.get(tkey) or 0))
     out = []
     for r in rows[:top]:
+        # default None fields (xprof column names/values vary by version)
         out.append({
             "op": (r.get("hlo_op_name") or "")[:70],
-            "category": r.get("category"),
-            "n": r.get("occurrences"),
+            "category": r.get("category") or "?",
+            "n": r.get("occurrences") or 0,
             "total_us": round(float(r.get(tkey) or 0), 1),
         })
     by_cat: dict[str, float] = {}

@@ -141,3 +141,42 @@ def test_folded_conv_stride_not_dividing_512():
     assert y.shape == ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_read_midi_notes_mid_track_tempo_change(tmp_path):
+    """Notes after a tempo meta event must be timed by accumulating seconds
+    across tempo regions, not by applying the final tempo to absolute ticks
+    (advisor r2: f0_midi.py read_midi_notes)."""
+    from rvc_tpu.predictors.f0_midi import read_midi_notes
+
+    def vlq(n):
+        out = [n & 0x7F]
+        n >>= 7
+        while n:
+            out.insert(0, 0x80 | (n & 0x7F))
+            n >>= 7
+        return bytes(out)
+
+    division = 480  # ticks/beat
+    ev = b""
+    # tempo 120 BPM (500000 us/beat); note A4 on t0 .. off 480 (= 0.5 s)
+    ev += vlq(0) + b"\xff\x51\x03" + (500000).to_bytes(3, "big")
+    ev += vlq(0) + b"\x90\x45\x64"
+    ev += vlq(480) + b"\x80\x45\x00"
+    # tempo 60 BPM; note on 480 .. off 960 (1 beat = 1.0 s now)
+    ev += vlq(0) + b"\xff\x51\x03" + (1000000).to_bytes(3, "big")
+    ev += vlq(0) + b"\x90\x47\x64"
+    ev += vlq(480) + b"\x80\x47\x00"
+    ev += vlq(0) + b"\xff\x2f\x00"  # end of track
+    data = (b"MThd" + (6).to_bytes(4, "big") + (0).to_bytes(2, "big")
+            + (1).to_bytes(2, "big") + division.to_bytes(2, "big")
+            + b"MTrk" + len(ev).to_bytes(4, "big") + ev)
+    p = tmp_path / "t.mid"
+    p.write_bytes(data)
+
+    notes = read_midi_notes(str(p))
+    assert len(notes) == 2
+    (s0, e0, p0), (s1, e1, p1) = notes
+    assert (p0, p1) == (0x45, 0x47)
+    np.testing.assert_allclose([s0, e0], [0.0, 0.5], atol=1e-9)
+    np.testing.assert_allclose([s1, e1], [0.5, 1.5], atol=1e-9)
