@@ -116,9 +116,14 @@ def install_model_archive(path: str, output_dir: str = "logs") -> str:
     raise ValueError(f"unsupported model file {path!r} (.zip/.pth/.npz)")
 
 
-def model_download_pipeline(model_link: str, output_dir: str = "logs") -> str:
-    """Install a model from a link/path. Supports local paths, file:// URLs,
-    and .zip archives (network URLs only when the environment has egress)."""
+def model_download_pipeline(
+    model_link: str, output_dir: str = "logs", http_get=None
+) -> str:
+    """Install a model from a link/path (reference
+    model_download.py:160-196). Supports local paths, file:// URLs, Google
+    Drive share links (confirm-token dance), HF /blob//resolve//tree links,
+    and .zip archives; network URLs need egress. `http_get` is an
+    injectable transport for tests."""
     parsed = urlparse(model_link)
     local = parsed.path if parsed.scheme in ("", "file") else None
     os.makedirs(output_dir, exist_ok=True)
@@ -128,23 +133,23 @@ def model_download_pipeline(model_link: str, output_dir: str = "logs") -> str:
         print(f"installed {dest}")
         return dest
 
-    try:
-        import requests
+    from .link_resolver import download_link
 
-        r = requests.get(model_link, timeout=30)
-        r.raise_for_status()
-        name = os.path.basename(parsed.path) or "downloaded_model.zip"
-        dest = os.path.join(output_dir, name)
-        with open(dest, "wb") as f:
-            f.write(r.content)
-        if dest.endswith(".zip"):
-            out = dest[:-4]
-            with zipfile.ZipFile(dest) as z:
-                z.extractall(out)
-            return out
-        return dest
+    try:
+        path = download_link(model_link, output_dir, http_get=http_get)
     except Exception as e:
         raise RuntimeError(
             f"download failed ({e}); in offline environments pass a local "
             "path or file:// URL"
         )
+    if path.endswith(".zip"):
+        out = path[:-4]
+        with zipfile.ZipFile(path) as z:
+            z.extractall(out)
+        os.remove(path)
+        # drop mac resource-fork dirs like the reference's cleaner
+        mac = os.path.join(out, "__MACOSX")
+        if os.path.isdir(mac):
+            shutil.rmtree(mac)
+        return out
+    return path
