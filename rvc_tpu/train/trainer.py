@@ -535,6 +535,7 @@ class Trainer:
             max_items = len(self.val_ds)
         d = self.cfg.data
         mel_l1s, mrstfts, sisdrs, pesqs = [], [], [], []
+        pesq_is_itu = False
         for i in range(min(len(self.val_ds), max_items)):
             ex = self.val_ds[i]
             n = int(ex["length"])
@@ -584,6 +585,7 @@ class Trainer:
                     from pesq import pesq as pesq_fn  # ITU C wheel, preferred
 
                     pesqs.append(float(pesq_fn(16000, ref16, hat16, "wb")))
+                    pesq_is_itu = True
                 except ImportError:
                     from ..utils.pesq_np import pesq_wb
 
@@ -596,7 +598,13 @@ class Trainer:
             out["validation/loss/mrstft"] = float(np.mean(mrstfts))
             out["validation/score/si_sdr"] = float(np.mean(sisdrs))
         if pesqs:
-            out["validation/score/pesq"] = float(np.mean(pesqs))
+            # honest naming: only the ITU C wheel logs under "pesq"; the
+            # numpy estimator (utils/pesq_np.py, uncalibrated vs P.862.2)
+            # logs as "pesq_est" so the score is never mistaken for real
+            # PESQ (see scripts/calibrate_pesq.py for the calibration
+            # harness usable in wheel-equipped environments).
+            key = "pesq" if pesq_is_itu else "pesq_est"
+            out[f"validation/score/{key}"] = float(np.mean(pesqs))
         if out:
             self.logger.log(int(self.state.step), out)
         return out
