@@ -313,6 +313,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exe", type=_bool, default=True,
                    help="reference: fetch ffmpeg.exe; here: build the "
                         "native audio engine")
+    p.add_argument("--prime_cache", default="",
+                   help="pre-compile the fused serving graphs for these "
+                        "file lengths in seconds (e.g. '1-10,30') so a "
+                        "cold infer skips the multi-minute XLA compile")
 
     p = sub.add_parser("audio_analyzer", help="Analyze an audio file")
     p.add_argument("--input_path", type=str, required=True)
@@ -340,7 +344,8 @@ def _enable_compile_cache() -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.mode in ("infer", "batch_infer", "tts", "extract", "train", "index"):
+    if args.mode in ("infer", "batch_infer", "tts", "extract", "train",
+                     "index", "prerequisites"):
         _enable_compile_cache()
 
     if args.mode == "infer":
@@ -540,6 +545,12 @@ def main(argv=None) -> int:
         prerequisites_download_pipeline(
             pretraineds_hifigan=args.pretraineds_hifigan,
             models=args.models, exe=args.exe)
+        if args.prime_cache:
+            from .utils.prime_cache import (
+                parse_seconds_spec, prime_serving_cache,
+            )
+
+            prime_serving_cache(parse_seconds_spec(args.prime_cache))
 
     elif args.mode == "audio_analyzer":
         from .utils.analyzer import analyze_audio

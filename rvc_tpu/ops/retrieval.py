@@ -92,13 +92,35 @@ TILED_SEARCH_THRESHOLD = 200_000
 # and T * N alone can be multi-GB even under the row threshold.
 DENSE_ELEMS_LIMIT = 1 << 27
 MIN_TILE = 4096
+# pallas streaming-kernel gate (on-device timings, scripts/time_knn.py @
+# T=1000/D=768/k=8 on v5e: N=1e4 pallas 6.3 ms vs dense 7.1; N=65536 dense
+# 9.6 vs pallas 10.2; N=2e5 pallas 18.4 vs tiled 40.6): the VMEM-resident
+# top-k wins for compact kmeans indexes and for everything too big for the
+# dense [T, N] product; dense XLA keeps the middle.
+PALLAS_SMALL_N = 16_384
+PALLAS_TILE = 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _search_dispatch(queries: jax.Array, vectors: jax.Array, k: int):
-    """Route to the dense or streaming kernel by peak-memory estimate."""
+    """Route to the pallas / dense / streaming kernel by device + size."""
     t = int(queries.shape[0])
     n = int(vectors.shape[0])
-    if n <= TILED_SEARCH_THRESHOLD and t * n <= DENSE_ELEMS_LIMIT:
+    dense_fits = n <= TILED_SEARCH_THRESHOLD and t * n <= DENSE_ELEMS_LIMIT
+    if _on_tpu() and (n <= PALLAS_SMALL_N or not dense_fits):
+        try:
+            from .retrieval_pallas import knn_search_pallas
+
+            return knn_search_pallas(queries, vectors, k, tile=PALLAS_TILE)
+        except Exception:
+            pass  # Mosaic regression on an exotic shape: XLA path below
+    if dense_fits:
         return knn_search(queries, vectors, k)
     # bound the streamed block so T * tile also respects the limit
     tile = int(min(65536, max(MIN_TILE, DENSE_ELEMS_LIMIT // max(t, 1))))

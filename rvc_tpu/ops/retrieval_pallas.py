@@ -10,12 +10,12 @@ HBM traffic.
 
 Falls back transparently off-TPU (interpret mode in tests).
 
-STATUS: exactness-validated alternative, NOT wired into the production
-retrieval path. FeatureIndex/retrieve_blend route through ops/retrieval.py's
-dense/tiled XLA kernels, whose memory-bounded dispatch covers production
-sizes; standalone kernel timings through the remote tunnel were too noisy to
-prove a win (see docs/PERFORMANCE.md), so this stays opt-in for future
-on-device profiling rather than a default.
+STATUS: wired into the production dispatch (ops/retrieval.py
+_search_dispatch) for compact indexes (N <= 16384, e.g. kmeans-compressed)
+and for indexes too large for the dense [T, N] product — the two regimes
+where on-device timings beat the XLA paths (scripts/time_knn.py on v5e:
+N=1e4 6.3 ms vs 7.1 dense; N=2e5 18.4 ms vs 40.6 tiled; dense keeps the
+middle at N=65536). Queries chunk at Q_BLOCK per launch to bound VMEM.
 """
 
 from __future__ import annotations
@@ -71,6 +71,11 @@ def _knn_kernel(q_ref, v_ref, out_d_ref, out_i_ref, run_d, run_i, *, k, tile, n)
         out_i_ref[:] = run_i[:]
 
 
+# queries per kernel launch: q block + [q, tile] scores + tile rows of V
+# must fit the 16 MB scoped-VMEM budget (q=1024/tile=1024/D=768 ~ 10.5 MB)
+Q_BLOCK = 1024
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def knn_search_pallas(
     queries: jax.Array,
@@ -82,8 +87,30 @@ def knn_search_pallas(
     """queries [T, D], vectors [N, D] -> (distances [T, k], indices [T, k]),
     squared L2 ascending, identical to ops.retrieval.knn_search.
 
-    The candidate width (k + tile) must be lane-aligned for Mosaic; the tile
-    is shrunk to the nearest value making k + tile a multiple of 128."""
+    T beyond Q_BLOCK is processed in independent query chunks (each streams
+    the index once) so VMEM stays bounded at any batch size."""
+    t_all = queries.shape[0]
+    if t_all > Q_BLOCK:
+        outs = [
+            knn_search_pallas(queries[s : s + Q_BLOCK], vectors, k,
+                              tile=tile, interpret=interpret)
+            for s in range(0, t_all, Q_BLOCK)
+        ]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+    return _knn_search_pallas_block(queries, vectors, k, tile, interpret)
+
+
+def _knn_search_pallas_block(
+    queries: jax.Array,
+    vectors: jax.Array,
+    k: int,
+    tile: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-launch kernel for T <= Q_BLOCK queries. The candidate width
+    (k + tile) must be lane-aligned for Mosaic; the tile is shrunk to the
+    nearest value making k + tile a multiple of 128."""
     t, d = queries.shape
     n = vectors.shape[0]
     over = (k + tile) % 128

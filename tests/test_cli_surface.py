@@ -97,3 +97,16 @@ def test_invalid_choices_rejected():
     with pytest.raises(SystemExit):
         P.parse_args(["infer", "--input_path", "a", "--output_path", "b",
                       "--pth_path", "m", "--f0_method", "nope"])
+
+
+def test_prerequisites_prime_cache_flag():
+    from rvc_tpu.cli import build_parser
+    from rvc_tpu.utils.prime_cache import parse_seconds_spec
+
+    args = build_parser().parse_args(
+        ["prerequisites", "--prime_cache", "1-3,8"])
+    assert args.prime_cache == "1-3,8"
+    assert parse_seconds_spec(args.prime_cache) == [1, 2, 3, 8]
+    assert parse_seconds_spec("5") == [5]
+    assert parse_seconds_spec(" 2-2 , 2 ") == [2]
+    assert parse_seconds_spec("") == []

@@ -31,3 +31,22 @@ def test_pallas_knn_padded_tail():
     d, i = knn_search_pallas(jnp.asarray(q), jnp.asarray(v), 4, tile=128,
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_pallas_query_chunking_matches_dense():
+    """T > Q_BLOCK splits into independent query chunks; results must equal
+    the dense kernel row-for-row (the production fused path can batch
+    thousands of frames into one retrieval call)."""
+    import rvc_tpu.ops.retrieval_pallas as rp
+    from rvc_tpu.ops.retrieval import knn_search
+
+    rng = np.random.default_rng(3)
+    t = rp.Q_BLOCK + 200
+    q = jnp.asarray(rng.normal(size=(t, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(500, 64)), jnp.float32)
+    d_ref, i_ref = knn_search(q, v, 4)
+    d_p, i_p = rp.knn_search_pallas(q, v, 4, tile=256, interpret=True)
+    assert d_p.shape == (t, 4) and i_p.shape == (t, 4)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_p))
