@@ -80,46 +80,143 @@ _KNOBS = (
 )
 
 
+# per-knob help text (i18n keys); surfaced as the component `info` line like
+# the reference's tabs/inference/inference.py tooltip strings
+_KNOB_INFO = {
+    "pitch": "Transpose the output voice in semitones; +12 is one octave up.",
+    "filter_radius": "Median-filter the pitch contour; 3 or higher smooths "
+                     "out octave flickers, values below 1 act as the FCPE "
+                     "confidence threshold.",
+    "index_rate": "How strongly retrieved training-set timbre replaces the "
+                  "converted features; higher values sound more like the "
+                  "training voice but can leak its accent and noise.",
+    "volume_envelope": "Blend between the input loudness contour and the "
+                       "synthesized one; 1 keeps the model output untouched.",
+    "protect": "Shield breaths and unvoiced consonants from timbre "
+               "replacement; lower values protect more, 0.5 disables the "
+               "guard.",
+    "f0_method": "Pitch tracker used for conversion; rmvpe is the most "
+                 "robust, hybrids take the median of several trackers.",
+    "split_audio": "Cut the input at silences and convert the pieces "
+                   "separately; helps very long or noisy recordings.",
+    "f0_autotune": "Snap the detected pitch to the closest semitone before "
+                   "conversion.",
+    "f0_autotune_strength": "How far each frame is pulled toward the snapped "
+                            "note; 1 is a hard snap.",
+    "clean_audio": "Denoise the input before conversion; meant for speech "
+                   "recordings, not music.",
+    "clean_strength": "Aggressiveness of the denoiser; too high can dull "
+                      "the voice.",
+    "export_format": "Container used when saving the converted audio.",
+    "embedder_model": "Speech representation model that extracts content "
+                      "features from the input.",
+    "formant_shifting": "Shift formants to nudge the voice character "
+                        "between deeper and brighter; useful for male/female "
+                        "conversions.",
+    "formant_qfrency": "Quefrency scale of the formant shift; higher moves "
+                       "formants further.",
+    "formant_timbre": "Timbre scale of the formant shift; interacts with "
+                      "quefrency.",
+    "post_process": "Run the selected studio effects on the converted audio "
+                    "before export.",
+    "reverb": "Add room reverberation to the output.",
+    "pitch_shift": "Shift the output pitch as an audio effect, after "
+                   "conversion.",
+    "limiter": "Stop peaks from exceeding the threshold.",
+    "gain": "Apply a flat gain to the output.",
+    "distortion": "Add harmonic distortion drive.",
+    "chorus": "Thicken the voice with modulated delayed copies.",
+    "bitcrush": "Reduce bit depth for a lo-fi texture.",
+    "clipping": "Hard-clip samples above the threshold.",
+    "compressor": "Even out the dynamic range.",
+    "delay": "Add an echo tap.",
+    "reverb_room_size": "Simulated room size; larger rooms decay longer.",
+    "reverb_damping": "High-frequency absorption of the reverb tail.",
+    "reverb_wet_gain": "Level of the reverberated signal.",
+    "reverb_dry_gain": "Level of the untouched signal.",
+    "reverb_width": "Stereo width of the reverb.",
+    "reverb_freeze_mode": "Hold the reverb tail indefinitely at 1.",
+    "pitch_shift_semitones": "Effect pitch shift amount in semitones.",
+    "limiter_threshold": "Ceiling in dB the limiter enforces.",
+    "limiter_release_time": "How quickly the limiter recovers, in seconds.",
+    "gain_db": "Gain amount in dB.",
+    "distortion_gain": "Drive of the distortion in dB.",
+    "chorus_rate": "Modulation speed of the chorus in Hz.",
+    "chorus_depth": "Modulation depth of the chorus.",
+    "chorus_center_delay": "Base delay of the chorus voices in ms.",
+    "chorus_feedback": "How much chorus output feeds back into itself.",
+    "chorus_mix": "Balance between dry and chorused signal.",
+    "bitcrush_bit_depth": "Bits kept per sample; fewer bits, harsher sound.",
+    "clipping_threshold": "Level in dB where samples clip.",
+    "compressor_threshold": "Level in dB where compression starts.",
+    "compressor_ratio": "Compression slope above the threshold.",
+    "compressor_attack": "How fast compression engages, in ms.",
+    "compressor_release": "How fast compression releases, in ms.",
+    "delay_seconds": "Echo spacing in seconds.",
+    "delay_feedback": "How much echo output feeds back for repeats.",
+    "delay_mix": "Balance between dry signal and echo.",
+}
+
+
 def _build_knobs(gr, i18n):
     """The full conversion/effect control surface (reference exposes 40+
     knobs, tabs/inference/inference.py:356+). Returns {name: component} in
     _KNOBS order."""
+    def inf(name):
+        return i18n(_KNOB_INFO[name]) if name in _KNOB_INFO else None
+
     k = {}
-    k["pitch"] = gr.Slider(-24, 24, 0, step=1, label=i18n("Pitch"))
+    k["pitch"] = gr.Slider(-24, 24, 0, step=1, label=i18n("Pitch"),
+                           info=inf("pitch"))
     k["filter_radius"] = gr.Slider(
-        0, 10, 3, step=1, label=i18n("Filter Radius"))
-    k["index_rate"] = gr.Slider(0, 1, 0.3, label=i18n("Search Feature Ratio"))
-    k["volume_envelope"] = gr.Slider(0, 1, 1.0, label=i18n("Volume Envelope"))
+        0, 10, 3, step=1, label=i18n("Filter Radius"),
+        info=inf("filter_radius"))
+    k["index_rate"] = gr.Slider(0, 1, 0.3, label=i18n("Search Feature Ratio"),
+                                info=inf("index_rate"))
+    k["volume_envelope"] = gr.Slider(0, 1, 1.0, label=i18n("Volume Envelope"),
+                                     info=inf("volume_envelope"))
     k["protect"] = gr.Slider(
-        0, 0.5, 0.33, label=i18n("Protect Voiceless Consonants"))
+        0, 0.5, 0.33, label=i18n("Protect Voiceless Consonants"),
+        info=inf("protect"))
     k["f0_method"] = gr.Radio(
         ["rmvpe", "fcpe", "crepe", "crepe-tiny", "yin",
          "hybrid[crepe+rmvpe]", "hybrid[crepe+fcpe]", "hybrid[rmvpe+fcpe]",
          "hybrid[crepe+rmvpe+fcpe]"],
-        value="rmvpe", label=i18n("Pitch extraction algorithm"))
-    k["split_audio"] = gr.Checkbox(False, label=i18n("Split Audio"))
-    k["f0_autotune"] = gr.Checkbox(False, label=i18n("Autotune"))
+        value="rmvpe", label=i18n("Pitch extraction algorithm"),
+        info=inf("f0_method"))
+    k["split_audio"] = gr.Checkbox(False, label=i18n("Split Audio"),
+                                   info=inf("split_audio"))
+    k["f0_autotune"] = gr.Checkbox(False, label=i18n("Autotune"),
+                                   info=inf("f0_autotune"))
     k["f0_autotune_strength"] = gr.Slider(
-        0, 1, 1.0, label=i18n("Autotune Strength"))
-    k["clean_audio"] = gr.Checkbox(False, label=i18n("Clean Audio"))
-    k["clean_strength"] = gr.Slider(0, 1, 0.7, label=i18n("Clean Strength"))
+        0, 1, 1.0, label=i18n("Autotune Strength"),
+        info=inf("f0_autotune_strength"))
+    k["clean_audio"] = gr.Checkbox(False, label=i18n("Clean Audio"),
+                                   info=inf("clean_audio"))
+    k["clean_strength"] = gr.Slider(0, 1, 0.7, label=i18n("Clean Strength"),
+                                    info=inf("clean_strength"))
     k["export_format"] = gr.Radio(
         ["WAV", "MP3", "FLAC", "OGG", "M4A"], value="WAV",
-        label=i18n("Export Format"))
+        label=i18n("Export Format"), info=inf("export_format"))
     k["embedder_model"] = gr.Radio(
         ["contentvec", "spin", "chinese-hubert-base", "japanese-hubert-base",
          "korean-hubert-base", "custom"],
-        value="contentvec", label=i18n("Embedder Model"))
+        value="contentvec", label=i18n("Embedder Model"),
+        info=inf("embedder_model"))
     k["formant_shifting"] = gr.Checkbox(
-        False, label=i18n("Formant Shifting"))
+        False, label=i18n("Formant Shifting"), info=inf("formant_shifting"))
     k["formant_qfrency"] = gr.Slider(
-        0.0, 16.0, 1.0, label=i18n("Quefrency for formant shifting"))
+        0.0, 16.0, 1.0, label=i18n("Quefrency for formant shifting"),
+        info=inf("formant_qfrency"))
     k["formant_timbre"] = gr.Slider(
-        0.0, 16.0, 1.0, label=i18n("Timbre for formant shifting"))
-    k["post_process"] = gr.Checkbox(False, label=i18n("Post-Process"))
+        0.0, 16.0, 1.0, label=i18n("Timbre for formant shifting"),
+        info=inf("formant_timbre"))
+    k["post_process"] = gr.Checkbox(False, label=i18n("Post-Process"),
+                                    info=inf("post_process"))
     for fx in ("reverb", "pitch_shift", "limiter", "gain", "distortion",
                "chorus", "bitcrush", "clipping", "compressor", "delay"):
-        k[fx] = gr.Checkbox(False, label=i18n(fx.replace("_", " ").title()))
+        k[fx] = gr.Checkbox(False, label=i18n(fx.replace("_", " ").title()),
+                            info=inf(fx))
     for name, lo, hi, default in (
         ("reverb_room_size", 0.0, 1.0, 0.5),
         ("reverb_damping", 0.0, 1.0, 0.5),
@@ -149,7 +246,8 @@ def _build_knobs(gr, i18n):
     ):
         step = 1 if name == "bitcrush_bit_depth" else None
         k[name] = gr.Slider(lo, hi, default, step=step,
-                            label=i18n(name.replace("_", " ").title()))
+                            label=i18n(name.replace("_", " ").title()),
+                            info=inf(name))
     return k
 
 
@@ -164,13 +262,26 @@ def inference_tab(gr, i18n):
     vc = VoiceConverter()
 
     with gr.Row():
-        model = gr.Dropdown(label=i18n("Voice Model"), choices=_model_choices())
-        index = gr.Dropdown(label=i18n("Index File"), choices=_index_choices())
+        model = gr.Dropdown(
+            label=i18n("Voice Model"), choices=_model_choices(),
+            info=i18n("Trained voice checkpoint to convert with."))
+        index = gr.Dropdown(
+            label=i18n("Index File"), choices=_index_choices(),
+            info=i18n("Retrieval index built from the training set; "
+                      "auto-matched when you pick a model."))
         refresh = gr.Button(i18n("Refresh"))
-    sid = gr.Slider(0, 108, 0, step=1, label=i18n("Speaker ID"))
+    sid = gr.Slider(
+        0, 108, 0, step=1, label=i18n("Speaker ID"),
+        info=i18n("Speaker slot inside multi-speaker models; leave 0 "
+                  "for single-voice models."))
     embedder_custom = gr.Textbox(
-        label=i18n("Custom Embedder"), value="", visible=True)
-    f0_file = gr.Textbox(label=i18n("F0 File Path"), value="")
+        label=i18n("Custom Embedder"), value="", visible=True,
+        info=i18n("Path to a custom content-embedder checkpoint; used "
+                  "when the embedder choice is 'custom'."))
+    f0_file = gr.Textbox(
+        label=i18n("F0 File Path"), value="",
+        info=i18n("Optional external pitch contour (rows of time and "
+                  "Hz) that overrides the tracker."))
 
     # index auto-match when a model is picked (reference match_index)
     model.change(lambda m: gr.update(value=_match_index(m)), [model], [index])
@@ -178,9 +289,14 @@ def inference_tab(gr, i18n):
     with gr.Tab(i18n("Single")):
         audio_in = gr.Audio(label=i18n("Upload Audio"), type="filepath")
         with gr.Row():
-            preset = gr.Dropdown(label=i18n("Preset"), choices=list_presets())
+            preset = gr.Dropdown(
+                label=i18n("Preset"), choices=list_presets(),
+                info=i18n("Saved bundle of conversion settings."))
             apply_preset = gr.Button(i18n("Apply Preset"))
-            preset_name = gr.Textbox(label=i18n("Preset Name"), value="")
+            preset_name = gr.Textbox(
+                label=i18n("Preset Name"), value="",
+                info=i18n("Name under which the current settings are "
+                          "exported."))
             export_preset = gr.Button(i18n("Export Preset"))
         with gr.Accordion(i18n("Advanced Settings"), open=False):
             knobs = _build_knobs(gr, i18n)
@@ -196,9 +312,9 @@ def inference_tab(gr, i18n):
 
         def do_export_preset(name, *values):
             if not name:
-                return "preset name required"
+                return i18n("A preset name is required.")
             path = save_preset(name, _knob_kwargs(values))
-            return f"saved preset -> {path}"
+            return i18n("Preset saved to") + f" {path}"
 
         status_preset = gr.Textbox(label=i18n("Output Information"))
         export_preset.click(do_export_preset, [preset_name] + knob_list,
@@ -230,8 +346,12 @@ def inference_tab(gr, i18n):
         )
 
     with gr.Tab(i18n("Batch")):
-        in_folder = gr.Textbox(label=i18n("Input Folder"))
-        out_folder = gr.Textbox(label=i18n("Output Folder"))
+        in_folder = gr.Textbox(
+            label=i18n("Input Folder"),
+            info=i18n("Folder of audio files to convert in bulk."))
+        out_folder = gr.Textbox(
+            label=i18n("Output Folder"),
+            info=i18n("Folder the converted files are written to."))
         with gr.Accordion(i18n("Advanced Settings"), open=False):
             bknobs = _build_knobs(gr, i18n)
         bknob_list = [bknobs[n] for n in _KNOBS]
@@ -245,7 +365,7 @@ def inference_tab(gr, i18n):
                 model_path=mdl, index_path=idx or "", sid=int(spk),
                 embedder_model_custom=emb_custom or None, **kw,
             )
-            return f"batch complete -> {outf}"
+            return i18n("Batch conversion complete; results in") + f" {outf}"
 
         batch_btn.click(
             do_batch,
@@ -265,20 +385,43 @@ _TRAIN_THREAD = {"thread": None, "error": None}
 
 
 def train_tab(gr, i18n):
-    model_name = gr.Textbox(label=i18n("Model Name"), value="my-voice")
-    sample_rate = gr.Radio([32000, 40000, 48000], value=48000,
-                           label=i18n("Sample Rate"))
-    vocoder = gr.Radio(["HiFi-GAN", "MRF HiFi-GAN", "RefineGAN"],
-                       value="HiFi-GAN", label=i18n("Vocoder"))
+    model_name = gr.Textbox(
+        label=i18n("Model Name"), value="my-voice",
+        info=i18n("Experiment name; checkpoints and logs are written "
+                  "under logs/<name>."))
+    sample_rate = gr.Radio(
+        [32000, 40000, 48000], value=48000, label=i18n("Sample Rate"),
+        info=i18n("Rate the model synthesizes at; pick the one matching "
+                  "your dataset quality."))
+    vocoder = gr.Radio(
+        ["HiFi-GAN", "MRF HiFi-GAN", "RefineGAN"],
+        value="HiFi-GAN", label=i18n("Vocoder"),
+        info=i18n("Waveform decoder architecture; HiFi-GAN is the "
+                  "pretrained default, the others need matching "
+                  "pretrains."))
 
     with gr.Accordion(i18n("Preprocess")):
-        dataset = gr.Textbox(label=i18n("Dataset Path"))
-        cut_mode = gr.Radio(["Skip", "Simple", "Automatic"], value="Automatic",
-                            label=i18n("Audio cutting"))
-        process_effects = gr.Checkbox(True, label=i18n("Process effects"))
-        noise_reduction = gr.Checkbox(False, label=i18n("Noise Reduction"))
-        nr_strength = gr.Slider(0, 1, 0.7,
-                                label=i18n("Noise Reduction Strength"))
+        dataset = gr.Textbox(
+            label=i18n("Dataset Path"),
+            info=i18n("Folder with your training recordings."))
+        cut_mode = gr.Radio(
+            ["Skip", "Simple", "Automatic"], value="Automatic",
+            label=i18n("Audio cutting"),
+            info=i18n("How recordings are sliced: Automatic cuts at "
+                      "silences, Simple cuts fixed windows, Skip keeps "
+                      "files whole."))
+        process_effects = gr.Checkbox(
+            True, label=i18n("Process effects"),
+            info=i18n("Run the filtering/normalization chain while "
+                      "slicing; turn off for already-processed "
+                      "datasets."))
+        noise_reduction = gr.Checkbox(
+            False, label=i18n("Noise Reduction"),
+            info=i18n("Denoise each slice before it enters the "
+                      "dataset."))
+        nr_strength = gr.Slider(
+            0, 1, 0.7, label=i18n("Noise Reduction Strength"),
+            info=i18n("Aggressiveness of the dataset denoiser."))
         pre_btn = gr.Button(i18n("Preprocess Dataset"))
         pre_out = gr.Textbox(label=i18n("Output Information"))
 
@@ -290,7 +433,7 @@ def train_tab(gr, i18n):
                 process_effects=fx, noise_reduction=nr,
                 reduction_strength=nrs,
             )
-            return f"preprocessed {hours:.2f} h"
+            return i18n("Preprocessed") + f" {hours:.2f} h"
 
         pre_btn.click(do_pre, [model_name, dataset, sample_rate, cut_mode,
                                process_effects, noise_reduction, nr_strength],
@@ -299,13 +442,17 @@ def train_tab(gr, i18n):
     with gr.Accordion(i18n("Extract")):
         f0_method = gr.Radio(
             ["rmvpe", "fcpe", "crepe", "crepe-tiny", "yin"], value="rmvpe",
-            label=i18n("Pitch extraction algorithm"))
+            label=i18n("Pitch extraction algorithm"),
+            info=i18n("Tracker used to label the dataset pitch; rmvpe "
+                      "is the most robust."))
         embedder = gr.Radio(
             ["contentvec", "spin", "chinese-hubert-base",
              "japanese-hubert-base", "korean-hubert-base", "custom"],
             value="contentvec", label=i18n("Embedder Model"))
-        include_mutes = gr.Slider(0, 10, 2, step=1,
-                                  label=i18n("Silent training files"))
+        include_mutes = gr.Slider(
+            0, 10, 2, step=1, label=i18n("Silent training files"),
+            info=i18n("Silent filler samples added per speaker so the "
+                      "model stays stable on silence."))
         ext_btn = gr.Button(i18n("Extract Features"))
         ext_out = gr.Textbox(label=i18n("Output Information"))
 
@@ -315,20 +462,37 @@ def train_tab(gr, i18n):
             run_extraction(os.path.join("logs", name), f0_method=f0m,
                            sample_rate=int(sr), embedder_model=emb,
                            include_mutes=int(mutes))
-            return "extraction complete"
+            return i18n("Feature extraction complete.")
 
         ext_btn.click(do_ext, [model_name, sample_rate, f0_method, embedder,
                                include_mutes], [ext_out])
 
     with gr.Accordion(i18n("Train")):
-        epochs = gr.Slider(1, 1000, 200, step=1, label=i18n("Total Epoch"))
-        batch = gr.Slider(1, 64, 8, step=1, label=i18n("Batch Size"))
-        save_every = gr.Slider(1, 100, 10, step=1, label=i18n("Save Every Epoch"))
-        save_only_latest = gr.Checkbox(False, label=i18n("Save Only Latest"))
+        epochs = gr.Slider(
+            1, 1000, 200, step=1, label=i18n("Total Epoch"),
+            info=i18n("Epochs to train in total; small datasets "
+                      "overtrain past a few hundred."))
+        batch = gr.Slider(
+            1, 64, 8, step=1, label=i18n("Batch Size"),
+            info=i18n("Clips per training step; raise it until device "
+                      "memory runs out for best throughput."))
+        save_every = gr.Slider(
+            1, 100, 10, step=1, label=i18n("Save Every Epoch"),
+            info=i18n("Checkpoint interval in epochs."))
+        save_only_latest = gr.Checkbox(
+            False, label=i18n("Save Only Latest"),
+            info=i18n("Overwrite one rolling checkpoint instead of "
+                      "keeping every save; big disk saver."))
         with gr.Row():
-            pretrained = gr.Checkbox(True, label=i18n("Pretrained"))
+            pretrained = gr.Checkbox(
+                True, label=i18n("Pretrained"),
+                info=i18n("Start from the staged base model instead of "
+                          "random weights; dramatically less data and "
+                          "time needed."))
             custom_pretrained = gr.Checkbox(
-                False, label=i18n("Custom Pretrained"))
+                False, label=i18n("Custom Pretrained"),
+                info=i18n("Use hand-picked generator/discriminator "
+                          "checkpoints below instead of the defaults."))
         with gr.Row():
             g_pretrained = gr.Dropdown(
                 label=i18n("Custom Pretrained G"),
@@ -336,23 +500,45 @@ def train_tab(gr, i18n):
             d_pretrained = gr.Dropdown(
                 label=i18n("Custom Pretrained D"),
                 choices=[""] + _pretrained_choices("D"), value="")
-        optimizer = gr.Radio(["AdamW", "RAdam", "Ranger21"], value="AdamW",
-                             label=i18n("Optimizer"))
+        optimizer = gr.Radio(
+            ["AdamW", "RAdam", "Ranger21"], value="AdamW",
+            label=i18n("Optimizer"),
+            info=i18n("Weight-update rule; AdamW is the reference "
+                      "default, Ranger21 adds gradient centralization "
+                      "and lookahead."))
         with gr.Row():
-            warmup = gr.Checkbox(False, label=i18n("Use warmup"))
-            warmup_epochs = gr.Slider(1, 100, 5, step=1,
-                                      label=i18n("Warmup duration"))
+            warmup = gr.Checkbox(
+                False, label=i18n("Use warmup"),
+                info=i18n("Ramp the learning rate up over the first "
+                          "epochs."))
+            warmup_epochs = gr.Slider(
+                1, 100, 5, step=1, label=i18n("Warmup duration"),
+                info=i18n("Epochs the warmup ramp lasts."))
         with gr.Row():
             multiscale = gr.Checkbox(
-                True, label=i18n("Multi-scale mel loss"))
-            double_d = gr.Checkbox(False, label=i18n("Double D update"))
-            balancer = gr.Checkbox(False, label=i18n("Loss balancer"))
-            checkpointing = gr.Checkbox(False, label=i18n("Checkpointing"))
+                True, label=i18n("Multi-scale mel loss"),
+                info=i18n("Compare mels at several resolutions; sharper "
+                          "highs at a small compute cost."))
+            double_d = gr.Checkbox(
+                False, label=i18n("Double D update"),
+                info=i18n("Update the discriminator twice per generator "
+                          "step; can stabilize adversarial training."))
+            balancer = gr.Checkbox(
+                False, label=i18n("Loss balancer"),
+                info=i18n("Auto-weight the generator losses by learned "
+                          "uncertainty instead of fixed coefficients."))
+            checkpointing = gr.Checkbox(
+                False, label=i18n("Checkpointing"),
+                info=i18n("Recompute activations in the backward pass "
+                          "to fit larger batches in memory."))
         discriminators = gr.Dropdown(
             ["mpd", "mpd_v1", "mrd", "msstft", "mssbcqt", "msd",
              "fregan_mpd", "mmsd"],
             value=["mpd"], multiselect=True,
-            label=i18n("Discriminators"))
+            label=i18n("Discriminators"),
+            info=i18n("Adversarial critics judging the generated audio; "
+                      "combining several shapes different aspects of "
+                      "quality."))
         train_btn = gr.Button(i18n("Start Training"))
         stop_btn = gr.Button(i18n("Stop Training"))
         idx_btn = gr.Button(i18n("Generate Index"))
@@ -384,8 +570,8 @@ def train_tab(gr, i18n):
             # run's pending stop flag and interleave checkpoint writes
             prev = _TRAIN_THREAD["thread"]
             if prev is not None and prev.is_alive():
-                return ("a training run is already in progress; press "
-                        "Stop Training and wait for it to finish first")
+                return i18n("A training run is already in progress; stop "
+                            "it and wait for it to finish first.")
             # run in a thread so the UI stays responsive (the reference
             # forks a subprocess, tabs/train/train.py run_train_script).
             # Clear any stale stop flag BEFORE the thread exists: fit()
@@ -432,9 +618,10 @@ def train_tab(gr, i18n):
                 err = _TRAIN_THREAD.get("error")
                 if err:
                     return f"last training run FAILED:\n{err[-2000:]}"
-                return "no training run in progress"
+                return i18n("No training run is in progress.")
             request_stop()
-            return "stop requested: checkpointing at the epoch boundary"
+            return i18n("Stop requested; a checkpoint will be written at "
+                        "the epoch boundary.")
 
         def do_index(name):
             from ..train.index_builder import build_index
@@ -462,7 +649,8 @@ def train_tab(gr, i18n):
                       if f.endswith("e.npz") or f.endswith("e.pth")]
             picks = sorted(set(picks + deploy))
             if not picks:
-                return "nothing exportable yet (train + index first)"
+                return i18n("Nothing to export yet; train the model and "
+                            "build the index first.")
             out = os.path.join(exp, f"{name}_export.zip")
             with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
                 for f in picks:
@@ -484,11 +672,21 @@ def train_tab(gr, i18n):
 def tts_tab(gr, i18n):
     from ..utils.tts import list_voices
 
-    text = gr.Textbox(label=i18n("Text to Synthesize"), lines=3)
-    voice = gr.Dropdown(label=i18n("TTS Voices"), choices=list_voices(),
-                        value="en-US-AriaNeural")
-    rate = gr.Slider(-100, 100, 0, step=1, label=i18n("TTS Speed"))
-    model = gr.Dropdown(label=i18n("Voice Model"), choices=_model_choices())
+    text = gr.Textbox(
+        label=i18n("Text to Synthesize"), lines=3,
+        info=i18n("Text spoken by the TTS voice before conversion."))
+    voice = gr.Dropdown(
+        label=i18n("TTS Voices"), choices=list_voices(),
+        value="en-US-AriaNeural",
+        info=i18n("Base synthetic narrator; its speech is then converted "
+                  "to your voice model."))
+    rate = gr.Slider(
+        -100, 100, 0, step=1, label=i18n("TTS Speed"),
+        info=i18n("Speaking-rate offset of the TTS narrator in "
+                  "percent."))
+    model = gr.Dropdown(
+        label=i18n("Voice Model"), choices=_model_choices(),
+        info=i18n("Trained voice checkpoint to convert with."))
     with gr.Accordion(i18n("Advanced Settings"), open=False):
         knobs = _build_knobs(gr, i18n)
     knob_list = [knobs[n] for n in _KNOBS]
@@ -517,12 +715,19 @@ def tts_tab(gr, i18n):
 
 
 def voice_blender_tab(gr, i18n):
-    name = gr.Textbox(label=i18n("Model Name"), value="blend")
+    name = gr.Textbox(
+        label=i18n("Model Name"), value="blend",
+        info=i18n("Name given to the fused model."))
     a = gr.Dropdown(label=i18n("Drag and drop your model here"),
-                    choices=_model_choices())
+                    choices=_model_choices(),
+                    info=i18n("First voice model to fuse."))
     b = gr.Dropdown(label=i18n("You can also use a custom path"),
-                    choices=_model_choices())
-    ratio = gr.Slider(0, 1, 0.5, label=i18n("Blend Ratio"))
+                    choices=_model_choices(),
+                    info=i18n("Second voice model to fuse."))
+    ratio = gr.Slider(
+        0, 1, 0.5, label=i18n("Blend Ratio"),
+        info=i18n("Weight of the second model in the fusion; 0.5 mixes "
+                  "both equally."))
     btn = gr.Button(i18n("Fusion"))
     out = gr.Textbox(label=i18n("Output Information"))
 
@@ -535,7 +740,10 @@ def voice_blender_tab(gr, i18n):
 
 
 def download_tab(gr, i18n):
-    link = gr.Textbox(label=i18n("Model Link"))
+    link = gr.Textbox(
+        label=i18n("Model Link"),
+        info=i18n("Direct URL, Google Drive share link, or HuggingFace "
+                  "page of a zipped model."))
     btn = gr.Button(i18n("Download Model"))
     out = gr.Textbox(label=i18n("Output Information"))
 
@@ -549,17 +757,19 @@ def download_tab(gr, i18n):
 
     btn.click(do_download, [link], [out])
 
-    drop = gr.File(label=i18n("Drop files"))
+    drop = gr.File(
+        label=i18n("Drop files"),
+        info=i18n("Install a local .zip/.pth/.index model bundle."))
     drop_out = gr.Textbox(label=i18n("Output Information"))
 
     def do_install(f):
         from ..utils.downloads import install_model_archive
 
         if f is None:
-            return "no file"
+            return i18n("No file was dropped.")
         path = f if isinstance(f, str) else getattr(f, "name", str(f))
         try:
-            return f"installed {install_model_archive(path)}"
+            return i18n("Installed") + f" {install_model_archive(path)}"
         except Exception as e:
             return str(e)
 
@@ -586,9 +796,13 @@ def utilities_tab(gr, i18n):
     with gr.Accordion(i18n("F0 Curve")):
         audio2 = gr.Audio(label=i18n("Upload Audio"), type="filepath")
         method = gr.Radio(["rmvpe", "fcpe", "yin"], value="rmvpe",
-                          label=i18n("Pitch extraction algorithm"))
+                          label=i18n("Pitch extraction algorithm"),
+                          info=i18n("Tracker used to draw the pitch "
+                                    "curve."))
         midi = gr.Checkbox(label=i18n("Also transcribe to MIDI"),
-                           value=False)
+                           value=False,
+                           info=i18n("Additionally write the detected "
+                                     "melody as a .mid file."))
         btn2 = gr.Button(i18n("Extract F0 Curve"))
         plot2 = gr.Image(label=i18n("Plot"))
         midi_file = gr.File(label=i18n("MIDI transcription"))
@@ -609,8 +823,10 @@ def utilities_tab(gr, i18n):
         btn2.click(do_f0, [audio2, method, midi], [plot2, midi_file])
 
     with gr.Accordion(i18n("Model Information")):
-        pth = gr.Dropdown(label=i18n("Voice Model"), choices=_model_choices())
-        btn3 = gr.Button(i18n("Get information about the audio"))
+        pth = gr.Dropdown(label=i18n("Voice Model"),
+                          choices=_model_choices(),
+                          info=i18n("Checkpoint whose metadata to inspect."))
+        btn3 = gr.Button(i18n("Get model information"))
         info3 = gr.Textbox(label=i18n("Output Information"), lines=6)
 
         def do_info(path):
@@ -649,14 +865,22 @@ def settings_tab(gr, i18n):
         label=i18n("Language"),
         choices=["auto"] + I18nAuto().available_languages(),
         value=cfg.get("language", "auto"),
+        info=i18n("Interface language; auto follows the system "
+                  "locale."),
     )
     theme = gr.Dropdown(label=i18n("Theme"), choices=THEMES,
-                        value=cfg.get("theme", "default"))
+                        value=cfg.get("theme", "default"),
+                        info=i18n("Visual theme of the interface."))
     precision = gr.Radio(["bf16", "fp32"],
                          value=cfg.get("precision", "bf16"),
-                         label=i18n("Precision"))
+                         label=i18n("Precision"),
+                         info=i18n("Serving arithmetic: bf16 is the fast "
+                                   "production default, fp32 is for "
+                                   "numeric comparisons."))
     author = gr.Textbox(label=i18n("Model Author"),
-                        value=cfg.get("author", ""))
+                        value=cfg.get("author", ""),
+                        info=i18n("Name embedded into models you train "
+                                  "or export."))
     out = gr.Textbox(label=i18n("Output Information"))
     save = gr.Button(i18n("Save Settings"))
     restart = gr.Button(i18n("Restart Applio"))
@@ -666,8 +890,8 @@ def settings_tab(gr, i18n):
         with open(UI_CONFIG_PATH, "w") as f:
             json.dump({"language": l, "theme": th, "precision": p,
                        "author": a}, f, indent=2)
-        return (f"saved to {UI_CONFIG_PATH} "
-                "(restart the UI to apply language/theme)")
+        return (i18n("Settings saved; restart the UI to apply language "
+                     "and theme changes.") + f" ({UI_CONFIG_PATH})")
 
     def do_restart():
         # re-exec via `-m rvc_tpu.ui.app`: exec'ing app.py as a plain script

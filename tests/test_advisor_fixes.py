@@ -80,7 +80,7 @@ def test_ui_stop_without_training_run():
     tabs._TRAIN_THREAD["thread"] = None
     T.reset_stop()
     msg = do_stop()
-    assert "no training run" in msg
+    assert "No training run" in msg
     assert not T._STOP_EVENT.is_set()
 
 
@@ -101,7 +101,7 @@ def test_ui_stop_during_startup_survives(monkeypatch):
     T.reset_stop()
     try:
         msg = do_stop()
-        assert "stop requested" in msg
+        assert "Stop requested" in msg
         # the flag must still be set for fit()'s first epoch-boundary check
         assert T._STOP_EVENT.is_set()
     finally:
