@@ -399,6 +399,15 @@ def main() -> None:
             t0 = time.perf_counter()
             record.update({k: round(v, 3) for k, v in bench_train().items()})
             _log(f"train bench done {time.perf_counter()-t0:.1f}s")
+            if left() > 60:
+                # batch-16 operating point: audio-throughput saturates here
+                # (~50 audio-s/s, docs/PERFORMANCE.md scaling curve)
+                b16 = bench_train(batch_size=16)
+                record["train_steps_per_sec_b16"] = round(
+                    b16["train_steps_per_sec"], 3)
+                record["train_audio_sec_per_sec_b16"] = round(
+                    b16["train_audio_sec_per_sec"], 3)
+                _log(f"train b16 bench done {time.perf_counter()-t0:.1f}s")
         except Exception as e:  # train bench must not sink the whole run
             record["train_error"] = f"{type(e).__name__}: {e}"[:200]
         finally:

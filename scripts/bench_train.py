@@ -30,10 +30,29 @@ from rvc_tpu.train.optimizers import make_optimizer
 from rvc_tpu.train.step import create_train_state, make_train_step
 
 
-def main(batch_size: int = 8, frames: int = 400, n_steps: int = 10) -> None:
+# TPU v5e (v5 lite) single-chip peak: 197 TFLOP/s bf16 / 98.5 TFLOP/s f32
+# (public spec). MFU below uses the bf16 peak because the step runs the
+# matmul-heavy paths in bf16 (train.step policy).
+V5E_PEAK_BF16 = 197e12
+
+
+def main(batch_size: int = 8, frames: int = 400, n_steps: int = 10,
+         discriminators: str = "", vocoder: str = "") -> None:
     cfg = get_config(48000)
     model_g = Synthesizer.from_config(cfg)
-    model_d = MultiPeriodDiscriminator()
+    if vocoder:
+        import dataclasses
+
+        model_g = dataclasses.replace(model_g, vocoder=vocoder)
+    if discriminators and discriminators != "mpd":
+        from rvc_tpu.models.custom_discriminators import build_discriminator
+
+        model_d = build_discriminator(
+            [n.strip() for n in discriminators.split(",") if n.strip()],
+            cfg.data.sample_rate,
+        )
+    else:
+        model_d = MultiPeriodDiscriminator()
 
     B, T = batch_size, frames
     rng = np.random.default_rng(0)
@@ -71,6 +90,19 @@ def main(batch_size: int = 8, frames: int = 400, n_steps: int = 10) -> None:
         make_train_step(cfg, model_g, model_d, tx_g, tx_d, steps_per_epoch=100),
         donate_argnums=(0,),
     )
+    # XLA's own FLOP estimate for the whole fused step -> MFU
+    step_flops = None
+    try:
+        lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+        try:  # pre-optimization estimate: no backend compile needed
+            ca = lowered.cost_analysis()
+        except Exception:
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", flush=True)
     t0 = time.time()
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     np.asarray(metrics["loss_disc"])  # block_until_ready returns early here
@@ -83,17 +115,32 @@ def main(batch_size: int = 8, frames: int = 400, n_steps: int = 10) -> None:
     # the whole sequence (block_until_ready returns early on this backend)
     np.asarray(metrics["loss_disc"])
     dt = (time.time() - t0) / n_steps
-    print(json.dumps({
+    rec = {
         "metric": "train_steps_per_sec_48k",
         "batch_size": B,
         "frames": T,
+        "discriminators": discriminators or "mpd",
+        "vocoder": vocoder or "HiFi-GAN(NSF)",
         "step_seconds": round(dt, 4),
         "value": round(1.0 / dt, 3),
         "audio_seconds_per_sec": round(B * cfg.train.segment_size / 48000 / dt, 2),
         "metrics": {k: round(float(v), 4) for k, v in metrics.items()},
-    }))
+    }
+    if step_flops:
+        rec["step_tflops"] = round(step_flops / 1e12, 2)
+        rec["mfu_vs_bf16_peak"] = round(step_flops / dt / V5E_PEAK_BF16, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    main(batch_size=bs)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch_size", type=int, nargs="?", default=8)
+    ap.add_argument("--frames", type=int, default=400)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--discriminators", default="")
+    ap.add_argument("--vocoder", default="")
+    a = ap.parse_args()
+    main(batch_size=a.batch_size, frames=a.frames, n_steps=a.steps,
+         discriminators=a.discriminators, vocoder=a.vocoder)
