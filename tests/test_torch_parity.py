@@ -617,3 +617,89 @@ def test_convert_torch_mpd_infers_v1_layout():
         convert_torch_mpd(v_bad)
     with pytest.raises(ValueError, match="sub-discriminators"):
         convert_torch_mpd(v1, periods=(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# CREPE (torchcrepe layout)
+# ---------------------------------------------------------------------------
+
+class _TorchCrepe(torch.nn.Module):
+    """Seeded reimplementation of the published torchcrepe Crepe layout
+    (github.com/maxrmorrison/torchcrepe model.py — the checkpoint format
+    rvc/infer/pipeline.py:212-259 consumes): 6 Conv2d blocks with
+    F.pad->conv->relu->BN->maxpool2 and the permute(0,2,1,3) flatten."""
+
+    def __init__(self, model="full"):
+        super().__init__()
+        if model == "full":
+            in_ch = [1, 1024, 128, 128, 128, 256]
+            out_ch = [1024, 128, 128, 128, 256, 512]
+            self.in_features = 2048
+        else:
+            in_ch = [1, 128, 16, 16, 16, 32]
+            out_ch = [128, 16, 16, 16, 32, 64]
+            self.in_features = 256
+        ks = [(512, 1)] + [(64, 1)] * 5
+        st = [(4, 1)] + [(1, 1)] * 5
+        for i in range(6):
+            setattr(self, f"conv{i+1}",
+                    torch.nn.Conv2d(in_ch[i], out_ch[i], ks[i], st[i]))
+            setattr(self, f"conv{i+1}_BN", torch.nn.BatchNorm2d(out_ch[i]))
+        self.classifier = torch.nn.Linear(self.in_features, 360)
+
+    def forward(self, x):
+        x = x[:, None, :, None]
+        for i in range(6):
+            pad = (0, 0, 254, 254) if i == 0 else (0, 0, 31, 32)
+            x = torch.nn.functional.pad(x, pad)
+            x = getattr(self, f"conv{i+1}")(x)
+            x = torch.nn.functional.relu(x)
+            x = getattr(self, f"conv{i+1}_BN")(x)
+            x = torch.nn.functional.max_pool2d(x, (2, 1), (2, 1))
+        x = x.permute(0, 2, 1, 3).reshape(-1, self.in_features)
+        return torch.sigmoid(self.classifier(x))
+
+
+@pytest.mark.parametrize("cap", ["full", "tiny"])
+def test_crepe_state_manifest_and_parity(cap, tmp_path):
+    """The converter must consume EXACTLY the published torchcrepe state
+    layout (vendored manifest fixture) and reproduce the forward pass."""
+    import json
+
+    from rvc_tpu.predictors.crepe import CREPE
+
+    with open(os.path.join(os.path.dirname(__file__), "golden",
+                           "crepe_state_manifest.json")) as f:
+        manifest = json.load(f)[cap]
+
+    torch.manual_seed(0)
+    tm = _TorchCrepe(cap)
+    # non-trivial running stats so a mean/var mapping slip is caught
+    with torch.no_grad():
+        for i in range(6):
+            bn = getattr(tm, f"conv{i+1}_BN")
+            bn.running_mean.uniform_(-0.5, 0.5)
+            bn.running_var.uniform_(0.5, 2.0)
+    tm.eval()
+
+    sd = tm.state_dict()
+    assert {k: list(v.shape) for k, v in sd.items()} == manifest
+
+    pt = str(tmp_path / f"crepe_{cap}.pt")
+    torch.save(sd, pt)
+    ours = CREPE.from_torch_checkpoint(pt, capacity=cap)
+    assert ours.model.capacity == cap
+
+    rng = np.random.default_rng(11)
+    frames = rng.normal(size=(4, 1024)).astype(np.float32)
+    frames = (frames - frames.mean(axis=1, keepdims=True)) / (
+        frames.std(axis=1, keepdims=True) + 1e-8
+    )
+    with torch.no_grad():
+        sal_ref = tm(torch.from_numpy(frames)).numpy()
+    sal_our = np.asarray(ours.model.apply(
+        {"params": ours.params, "batch_stats": ours.batch_stats},
+        jnp.asarray(frames),
+    ))
+    err = np.abs(sal_ref - sal_our).max()
+    assert err < 1e-4, f"crepe {cap} parity err {err}"
