@@ -247,7 +247,11 @@ class VoiceConverter:
 
         if split_audio:
             segments, intervals = process_audio(audio16, 16000)
-            converted = [self.pipeline.pipeline(s, **kwargs) for s in segments]
+            # independent slicer segments ride the fused stream when the
+            # single-segment path applies (dispatch-ahead instead of one
+            # synchronous round trip per segment); sample-identical to the
+            # serial loop (pipeline_many docstring)
+            converted = self.pipeline.pipeline_many(segments, **kwargs)
             audio_out = merge_audio(segments, converted, intervals, 16000, self.tgt_sr)
         else:
             audio_out = self.pipeline.pipeline(audio16, **kwargs)

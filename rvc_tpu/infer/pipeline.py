@@ -455,6 +455,7 @@ class Pipeline:
         filter_radius: int = 3,
         depth: int = 2,
         prep=None,
+        rngs: Optional[List[jax.Array]] = None,
     ) -> List[np.ndarray]:
         """Sustained-stream conversion: keep up to `depth` fused programs in
         flight and fetch results in order. JAX dispatch is asynchronous, so
@@ -464,7 +465,7 @@ class Pipeline:
         low-latency streaming server; results are bit-identical to
         voice_conversion_fused per segment when the caller derives segment
         rngs the same way (segment i uses jax.random.split(rng,
-        len(audio_segs))[i]).
+        len(audio_segs))[i], or pass explicit per-segment `rngs`).
 
         prep: optional host-DSP callable applied to each raw segment inside
         the dispatch loop, so preprocessing of item i+1 overlaps device
@@ -486,7 +487,8 @@ class Pipeline:
         protect_d = jnp.asarray(protect, jnp.float32)
         pitch_shift_d = jnp.asarray(pitch_shift, jnp.float32)
         strength_d = jnp.asarray(f0_autotune_strength, jnp.float32)
-        subs = list(jax.random.split(rng, len(audio_segs)))
+        subs = rngs if rngs is not None else list(
+            jax.random.split(rng, len(audio_segs)))
 
         for i, seg in enumerate(audio_segs):
             if prep is not None:
@@ -944,3 +946,89 @@ class Pipeline:
         if peak > 1.0:
             audio_opt = audio_opt / peak
         return audio_opt.astype(np.float32)
+
+    def pipeline_many(
+        self,
+        audios: List[np.ndarray],
+        sid: int = 0,
+        pitch_shift: int = 0,
+        f0_method: str = "yin",
+        index_vectors: Optional[np.ndarray] = None,
+        index_rate: float = 0.0,
+        pitch_guidance: bool = True,
+        volume_envelope: float = 1.0,
+        protect: float = 0.5,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        inp_f0: Optional[np.ndarray] = None,
+        predictors: Optional[Dict[str, Any]] = None,
+        rng: Optional[jax.Array] = None,
+        filter_radius: float = 3,
+        hop_length: int = 160,
+    ) -> List[np.ndarray]:
+        """Convert several INDEPENDENT clips with dispatch-ahead.
+
+        Sample-identical to `[self.pipeline(a, ...) for a in audios]` — the
+        contract of split_audio mode, where slicer segments are converted
+        independently (reference infer.py:202-238) — but when every clip
+        fits the fused single-segment path (rmvpe, no external f0, length
+        <= t_max) the conversions ride voice_conversion_fused_stream: the
+        host high-passes/pads clip i+1 and downloads clip i-1 while the
+        device converts clip i, instead of one synchronous round trip per
+        slicer segment."""
+        kwargs = dict(
+            sid=sid, pitch_shift=pitch_shift, f0_method=f0_method,
+            index_vectors=index_vectors, index_rate=index_rate,
+            pitch_guidance=pitch_guidance, volume_envelope=volume_envelope,
+            protect=protect, f0_autotune=f0_autotune,
+            f0_autotune_strength=f0_autotune_strength, inp_f0=inp_f0,
+            predictors=predictors, rng=rng, filter_radius=filter_radius,
+            hop_length=hop_length,
+        )
+        fast = (
+            pitch_guidance and inp_f0 is None and f0_method == "rmvpe"
+            and all(a.shape[0] <= self.t_max for a in audios)
+        )
+        if (fast and self._rmvpe is None and predictors is not None
+                and hasattr(predictors.get("rmvpe"), "__self__")):
+            self.set_rmvpe(predictors["rmvpe"].__self__)
+        if not (fast and self._rmvpe is not None):
+            return [self.pipeline(a, **kwargs) for a in audios]
+
+        index_arr = (
+            jnp.asarray(index_vectors, jnp.float32)
+            if index_vectors is not None and index_rate > 0
+            else None
+        )
+        # every serial pipeline() call starts from the same rng, so every
+        # clip uses the SAME sub-key — reproduce that for bit-equality
+        base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+        _, sub = jax.random.split(base_rng)
+
+        hp: List[np.ndarray] = []  # prep runs in dispatch order
+
+        def prep(seg):
+            h = self._highpass(seg)
+            hp.append(h)
+            return np.pad(h, (self.t_pad, self.t_pad), mode="reflect")
+
+        raw = self.voice_conversion_fused_stream(
+            audios, sid, index_arr, index_rate, protect, base_rng,
+            pitch_shift=pitch_shift, f0_autotune=f0_autotune,
+            f0_autotune_strength=f0_autotune_strength,
+            filter_radius=int(filter_radius or 0),
+            prep=prep, rngs=[sub] * len(audios),
+        )
+        outs: List[np.ndarray] = []
+        for seg_out, h in zip(raw, hp):
+            audio_opt = seg_out[self.t_pad_tgt : -self.t_pad_tgt]
+            if volume_envelope != 1.0:
+                audio_opt = change_rms(
+                    h, SAMPLE_RATE, audio_opt, self.tgt_sr, volume_envelope
+                )
+            peak = np.abs(audio_opt).max() / 0.99
+            if peak > 1.0:
+                audio_opt = audio_opt / peak
+            outs.append(audio_opt.astype(np.float32))
+        return outs
+

@@ -444,3 +444,40 @@ def test_stream_matches_single_fused(tiny_pipe):
         assert [len(x) for x in batched] == [len(x) for x in singles]
     finally:
         tiny_pipe._rmvpe = None
+
+
+@pytest.mark.slow
+def test_pipeline_many_matches_serial(tiny_pipe):
+    """pipeline_many (split_audio's dispatch-ahead path) must be
+    sample-identical to [pipeline(s) for s in segments] on BOTH routes:
+    the fused rmvpe fast path and the generic fallback (yin)."""
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
+
+    tt = np.arange(2 * 16000) / 16000
+    segs = [
+        (0.3 * np.sin(2 * np.pi * f * tt[:n])).astype(np.float32)
+        for f, n in ((180.0, 32000), (220.0, 24000), (260.0, 30000))
+    ]
+
+    # fused fast path (rmvpe attached)
+    rmvpe = RMVPE(model=E2EModel(n_blocks=1, en_de_layers=2, inter_layers=1,
+                                 en_out_channels=2, gru_hidden=4))
+    tiny_pipe.set_rmvpe(rmvpe)
+    try:
+        kw = dict(sid=0, f0_method="rmvpe", index_rate=0.0, protect=0.4,
+                  volume_envelope=0.8, pitch_shift=2)
+        many = tiny_pipe.pipeline_many(segs, **kw)
+        serial = [tiny_pipe.pipeline(s, **kw) for s in segs]
+        assert len(many) == len(serial)
+        for a, b in zip(many, serial):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        tiny_pipe._rmvpe = None
+        tiny_pipe._convert_fused = None
+
+    # fallback path (yin -> serial loop inside pipeline_many)
+    kw = dict(sid=0, f0_method="yin", index_rate=0.0, protect=0.5)
+    many = tiny_pipe.pipeline_many(segs[:2], **kw)
+    serial = [tiny_pipe.pipeline(s, **kw) for s in segs[:2]]
+    for a, b in zip(many, serial):
+        np.testing.assert_array_equal(a, b)
