@@ -80,3 +80,36 @@ def test_golden_synth_output_stable():
     np.testing.assert_allclose(
         fingerprint["samples"], ref["samples"], rtol=1e-3, atol=1e-5
     )
+
+
+def test_golden_fcpe_favor_latent_stable():
+    """Fixed-seed FCPE (full Performer conformer) latent fingerprint: locks
+    the FAVOR+ numerics (projection init, kernel asymmetry, linear
+    attention) against silent drift across refactors."""
+    from rvc_tpu.predictors.fcpe import CFNaiveMelPE
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "tiny_fcpe_latent.npz")
+    model = CFNaiveMelPE(hidden_dims=64, n_layers=2, n_heads=2,
+                         conv_only=False)
+    rng = np.random.default_rng(21)
+    mel = jnp.asarray(rng.normal(size=(1, 48, 128)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(77), mel)["params"]
+    lat = np.asarray(model.apply({"params": params}, mel))[0]
+
+    fingerprint = {
+        "mean": np.float64(lat.mean()),
+        "std": np.float64(lat.std()),
+        "row0": lat[0].astype(np.float64),
+        "col0": lat[:, 0].astype(np.float64),
+    }
+    if os.environ.get("REGEN_GOLDEN") == "1" or not os.path.exists(golden):
+        np.savez(golden, **fingerprint)
+        pytest.skip("golden fixture (re)generated")
+    ref = np.load(golden)
+    assert fingerprint["mean"] == pytest.approx(float(ref["mean"]), abs=1e-5)
+    assert fingerprint["std"] == pytest.approx(float(ref["std"]), rel=1e-3)
+    np.testing.assert_allclose(fingerprint["row0"], ref["row0"],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(fingerprint["col0"], ref["col0"],
+                               rtol=1e-3, atol=1e-5)
