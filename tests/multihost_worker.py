@@ -171,12 +171,32 @@ def main() -> None:
         _prune_orbax_dirs(os.path.join(a.outdir, "exp"), keep_epoch=2)
     latest = orbax_io.latest_step_dir(os.path.join(a.outdir, "exp"))
 
+    # BucketBatcher shard interleave exactly as the trainer wires it
+    # (trainer.py:166-170: shard_index=jax.process_index()): each real
+    # process derives its own rank plan; the test asserts the two ranks'
+    # plans partition the padded global id stream.
+    from rvc_tpu.train.data import BucketBatcher
+
+    class _LenOnly:
+        lengths = [12, 25, 33, 47, 55, 61, 72, 78, 85, 91, 18, 44]
+        hop_length = 160
+
+    bb = BucketBatcher(
+        _LenOnly(), batch_size=2, boundaries=(0, 40, 100),
+        shard_index=jax.process_index(), num_shards=jax.process_count(),
+        shuffle=True,
+    )
+    plan = [[int(f), [int(i) for i in idxs]]
+            for f, idxs in bb.epoch_batches(epoch=3)]
+
     out = {
         "pid": a.pid,
         "nproc": a.nproc,
         "global_devices": n_global,
         "metrics": all_metrics,
         "latest_ckpt": os.path.basename(latest) if latest else None,
+        "batch_plan": plan,
+        "steps_per_epoch": bb.steps_per_epoch(),
     }
     with open(os.path.join(a.outdir, f"metrics_{a.pid}.json"), "w") as f:
         json.dump(out, f)

@@ -52,7 +52,9 @@ def _run_workers(nproc: int, outdir: str, local_devices: int, port: int):
     ]
     logs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        # cold compile cache: the full-featured step takes ~17 min to build
+        # on a 1-core host; cached reruns finish in a couple of minutes
+        out, _ = p.communicate(timeout=2400)
         logs.append(out.decode(errors="replace"))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
@@ -88,6 +90,26 @@ def test_two_process_train_step_and_orbax(tmp_path):
 
     # resume-after-restore step produced finite metrics on both paths
     assert all(np.isfinite(v) for v in two[0]["metrics"][-1].values())
+
+    # BucketBatcher rank interleave: both ranks report the trainer-wired
+    # shard plan; same step count, and the union of their example ids per
+    # bucket partitions the padded global id stream (no overlap, no gap)
+    assert two[0]["steps_per_epoch"] == two[1]["steps_per_epoch"]
+    assert len(two[0]["batch_plan"]) == two[0]["steps_per_epoch"]
+    from collections import Counter
+
+    def ids_by_bucket(plan):
+        out = {}
+        for frames, idxs in plan:
+            out.setdefault(frames, []).extend(idxs)
+        return out
+
+    b0, b1 = ids_by_bucket(two[0]["batch_plan"]), ids_by_bucket(two[1]["batch_plan"])
+    ref = ids_by_bucket(one[0]["batch_plan"])
+    assert set(b0) == set(b1) == set(ref)
+    for frames in ref:
+        # 2-rank shards together hold exactly the single-process stream
+        assert Counter(b0[frames]) + Counter(b1[frames]) == Counter(ref[frames])
     # prune kept only the newest orbax dir on the shared exp tree
     exp = tmp_path / "mh2" / "exp"
     dirs = sorted(d for d in os.listdir(exp) if d.startswith("orbax_"))
