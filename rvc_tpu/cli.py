@@ -54,7 +54,7 @@ def cleanup_previous_run(exp_dir: str) -> int:
         return 0
     for fn in os.listdir(exp_dir):
         if (fn.startswith(("G_", "D_", "orbax_", "reference_e"))
-                or fn.endswith(".index.npz")
+                or fn.endswith((".index.npz", ".index"))
                 or fn in ("metrics.jsonl", "heartbeat.json",
                           "train_error.log")
                 or fn.startswith("events.out.tfevents")):
@@ -287,6 +287,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_name", type=str, required=True)
     p.add_argument("--index_algorithm", type=str, default="Auto",
                    choices=["Auto", "Faiss", "KMeans"])
+    p.add_argument("--export_faiss", action="store_true",
+                   help="also write a faiss-binary IndexIVFFlat "
+                        "(added_IVF{n}_Flat_..._v2.index) so the model can "
+                        "be used from a reference install")
 
     p = sub.add_parser("model_information", help="Print model metadata")
     p.add_argument("--pth_path", type=str, required=True)
@@ -504,7 +508,8 @@ def main(argv=None) -> int:
         from .train.index_builder import build_index
 
         print(build_index(os.path.join("logs", args.model_name),
-                          algorithm=args.index_algorithm))
+                          algorithm=args.index_algorithm,
+                          export_faiss=args.export_faiss))
 
     elif args.mode == "model_information":
         from .utils.model_tools import model_information

@@ -8,7 +8,8 @@ top-k — the entire CPU round-trip (the reference's worst inference latency
 bug) disappears and retrieval fuses into the conversion graph.
 
 Index file format: .npz with key "vectors" [N, 768] float32 (see
-rvc_tpu.train.index_builder). faiss returns squared L2 distances; so does
+rvc_tpu.train.index_builder); reference faiss .index files load directly
+through utils.faiss_io. faiss returns squared L2 distances; so does
 this kernel, keeping the 1/d^2 weighting numerics identical.
 """
 
@@ -160,6 +161,15 @@ class FeatureIndex:
 
     @classmethod
     def load(cls, path: str) -> "FeatureIndex":
+        """Load a native ``.index.npz`` or a reference faiss ``.index`` file
+        (IndexFlat / IndexIVFFlat via utils.faiss_io) — migrating users keep
+        their existing retrieval indexes."""
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic[:2] != b"PK":  # not a zip archive -> try the faiss formats
+            from ..utils.faiss_io import read_index_vectors
+
+            return cls(read_index_vectors(path))
         data = np.load(path)
         return cls(data["vectors"])
 

@@ -32,6 +32,7 @@ def build_index(
     max_rows: int = MAX_ROWS_BEFORE_COMPRESSION,
     n_centroids: int = N_CENTROIDS,
     algorithm: str = "Auto",
+    export_faiss: bool = False,
 ) -> str:
     """Build `<model>.index.npz` from `<exp_dir>/extracted/*.npy`.
 
@@ -40,6 +41,11 @@ def build_index(
       "KMeans" — always compress to `n_centroids`,
       "Faiss"  — never compress (exact flat matrix; the reference's IVF
                  training disappears because device search is exact).
+
+    export_faiss additionally writes a faiss-binary IndexIVFFlat next to the
+    npz, named with the reference's ``added_IVF{n}_Flat_..._{model}_v2.index``
+    convention — a model trained here drops straight into a reference
+    install (utils/faiss_io.py implements the serialization).
     """
     feature_dir = os.path.join(exp_dir, "extracted")
     paths = sorted(glob.glob(os.path.join(feature_dir, "*.npy")))
@@ -61,8 +67,17 @@ def build_index(
         feats = np.asarray(centroids)
 
     index = FeatureIndex(feats)
+    model_name = os.path.basename(os.path.normpath(exp_dir))
     if output_path is None:
-        model_name = os.path.basename(os.path.normpath(exp_dir))
         output_path = os.path.join(exp_dir, f"{model_name}.index.npz")
     index.save(output_path)
+    if export_faiss:
+        from ..utils.faiss_io import default_nlist, write_index_ivf_flat
+
+        nlist = default_nlist(feats.shape[0])
+        faiss_path = os.path.join(
+            os.path.dirname(output_path),
+            f"added_IVF{nlist}_Flat_nprobe_1_{model_name}_v2.index",
+        )
+        write_index_ivf_flat(faiss_path, feats, nlist=nlist, seed=seed)
     return output_path

@@ -34,17 +34,21 @@ def _model_choices():
 
 
 def _index_choices():
-    return sorted(glob.glob(os.path.join("logs", "**", "*.index.npz"),
-                            recursive=True))
+    return sorted(
+        glob.glob(os.path.join("logs", "**", "*.index.npz"), recursive=True)
+        + glob.glob(os.path.join("logs", "**", "*.index"), recursive=True)
+    )
 
 
 def _match_index(model_path: str) -> str:
     """Auto-pick the index living next to a model (reference
-    tabs/inference/inference.py match_index)."""
+    tabs/inference/inference.py match_index). Native .index.npz preferred,
+    migrated faiss .index accepted."""
     if not model_path:
         return ""
     exp_dir = os.path.dirname(model_path)
-    cands = sorted(glob.glob(os.path.join(exp_dir, "*.index.npz")))
+    cands = (sorted(glob.glob(os.path.join(exp_dir, "*.index.npz")))
+             or sorted(glob.glob(os.path.join(exp_dir, "*.index"))))
     return cands[0] if cands else ""
 
 
@@ -641,7 +645,7 @@ def train_tab(gr, i18n):
                 return f"no experiment at {exp}"
             picks = sorted(
                 f for f in os.listdir(exp)
-                if (f.endswith((".index.npz", ".pth"))
+                if (f.endswith((".index.npz", ".index", ".pth"))
                     or (f.endswith(".npz") and "e." not in f and
                         not f.startswith(("G_", "D_"))))
             )
