@@ -31,6 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .folded_conv import fold_weights_sparse
 
+# Experimental MXU-shape variant (scripts/probe_mrf_taps.py): emit each
+# conv as ONE dot with a [taps*fc] contraction over the concatenated
+# shifted views, instead of `taps` separate [fc, fc] dots. Same math, same
+# weight-bank layout (rows are already contiguous in plan order); flips the
+# MXU work from many short-contraction dots to one long-contraction dot.
+# Read at trace time — toggle the module global before tracing.
+CONCAT_TAPS = False
+
 
 def _plan(kernel_size: int, dilations: Sequence[int], fold: int):
     """Static SPARSE tap plan for the 6-conv chain: per conv the folded
@@ -369,18 +377,37 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
         inb = ((g >= 0) & (g < lf)).astype(dtype)
         x0 = xbuf[:].astype(dtype)
 
+        concat_taps = CONCAT_TAPS
+
         def conv(a, chain_i, conv_i):
             plan = plans[chain_i][conv_i]
             base = offsets[chain_i][conv_i]
             bias_row = chain_i * n_convs_per_chain + conv_i
             acc = jnp.zeros((buf_rows, fc), jnp.float32)
-            for j, s in enumerate(plan):
-                row = (base + j) * fc
-                shifted = a if s == 0 else jnp.roll(a, -s, axis=0)
-                acc = acc + jnp.dot(
-                    shifted.astype(mm), w_ref[row : row + fc, :],
-                    preferred_element_type=jnp.float32,
-                )
+            if concat_taps:
+                # one long-contraction dot per <=6 taps: the weight bank
+                # rows are contiguous in plan order, so a tap group is one
+                # static slice. 6 caps the concat buffer (~buf_rows x 6*fc)
+                # inside the VMEM budget at the widest stage.
+                group = 6
+                for j0 in range(0, len(plan), group):
+                    sub = plan[j0 : j0 + group]
+                    cat = jnp.concatenate(
+                        [(a if s == 0 else jnp.roll(a, -s, axis=0)).astype(mm)
+                         for s in sub], axis=1)
+                    row = (base + j0) * fc
+                    acc = acc + jnp.dot(
+                        cat, w_ref[row : row + len(sub) * fc, :],
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                for j, s in enumerate(plan):
+                    row = (base + j) * fc
+                    shifted = a if s == 0 else jnp.roll(a, -s, axis=0)
+                    acc = acc + jnp.dot(
+                        shifted.astype(mm), w_ref[row : row + fc, :],
+                        preferred_element_type=jnp.float32,
+                    )
             return (acc + b_ref[bias_row : bias_row + 1, :]).astype(dtype)
 
         # Lockstep chain interleaving: the three chains are independent

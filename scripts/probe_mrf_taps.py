@@ -1,0 +1,83 @@
+"""A/B probe: fused_mrf per-tap dots vs CONCAT_TAPS long-contraction dots.
+
+The r3 train/serve profiles put the three fused-MRF stage kernels at
+~13.7 ms/conversion against a ~5.7 ms pure-dot bound; the gap is per-tap
+overhead (many short [fc, fc] dots + their accumulations). The CONCAT_TAPS
+variant (ops/resblock_pallas.py) regroups each conv into one dot per <=6
+taps over the concatenated shifted views — same math (interpret-mode
+equality in tests/test_resblock_pallas.py), different MXU shape.
+
+Times both variants at the 48k flagship's three fused decoder stages for a
+10 s conversion (bf16 serving dtypes), honest sync via np.asarray. Run on
+the chip: python scripts/probe_mrf_taps.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from rvc_tpu.ops import resblock_pallas as rp  # noqa: E402
+
+DIL = (1, 3, 5)
+KS = (3, 7, 11)
+# (channels, T) of the fused stages for ~10 s of 48 kHz audio
+STAGES = [(128, 120_000), (64, 240_000), (32, 480_000)]
+REPS = 20
+
+
+def make_inputs(c, t, seed):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(1, t, c)) * 0.3, jnp.bfloat16)
+    chains = []
+    for k in KS:
+        chains.append(tuple(
+            [jnp.asarray(rng.normal(size=(k, c, c)) * 0.05, jnp.float32)
+             for _ in DIL] if i % 2 == 0 else
+            [jnp.asarray(rng.normal(size=(c,)) * 0.05, jnp.float32)
+             for _ in DIL]
+            for i in range(4)
+        ))
+    return x, tuple(chains)
+
+
+def bench(fn, x, chains):
+    out = fn(x, chains)
+    np.asarray(out)  # warm + honest sync
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(fn(x, chains))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def main():
+    print(f"backend={jax.default_backend()} reps={REPS}")
+    total = {False: 0.0, True: 0.0}
+    for c, t in STAGES:
+        x, chains = make_inputs(c, t, seed=c)
+        wb = rp.mrf_weight_bytes(c, t, KS, DIL) // 2  # bf16 bank
+        row = [f"C={c:<4} T={t:<7} bank={wb / 2**20:.2f}MB"]
+        for concat in (False, True):
+            rp.CONCAT_TAPS = concat
+            fn = jax.jit(lambda x_, ch_, _v=concat: rp.fused_mrf(
+                x_, ch_, KS, DIL, tile=1024))
+            try:
+                ms = bench(fn, x, chains)
+            except Exception as e:  # VMEM blowout etc: report, keep going
+                rp.CONCAT_TAPS = False
+                row.append(f"concat={concat}: FAILED {type(e).__name__}")
+                continue
+            rp.CONCAT_TAPS = False
+            total[concat] += ms
+            row.append(f"concat={concat}: {ms:7.3f} ms")
+        print("  ".join(row))
+    print(f"TOTAL per-tap {total[False]:.3f} ms vs concat {total[True]:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,37 @@ def test_fused_mrf_grad_flows():
                             interpret=True).sum()
     )(x)
     assert g.shape == x.shape and bool(jnp.isfinite(g).all())
+
+
+def test_fused_mrf_concat_taps_matches():
+    """CONCAT_TAPS variant (one long-contraction dot per tap group) is
+    numerically the same chain, fp32 accumulation regrouped only."""
+    from rvc_tpu.ops import resblock_pallas as rp
+
+    rng = np.random.default_rng(9)
+    T, C = 8192, 32
+    dil = (1, 3, 5)
+    kernel_sizes = (3, 7, 11)
+    x = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.float32)
+    chains = []
+    for K in kernel_sizes:
+        chains.append((
+            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+             for _ in dil],
+        ))
+    base = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
+                        interpret=True)
+    rp.CONCAT_TAPS = True
+    try:
+        cat = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
+                           interpret=True)
+    finally:
+        rp.CONCAT_TAPS = False
+    rel = float(jnp.abs(base - cat).max() / jnp.abs(base).max())
+    assert rel < 5e-6, rel
