@@ -12,7 +12,10 @@ Times both variants at the 48k flagship's three fused decoder stages for a
 the chip: python scripts/probe_mrf_taps.py
 """
 
+import sys
 import time
+
+sys.path.insert(0, ".")  # run from the repo root
 
 import jax
 import jax.numpy as jnp
@@ -45,12 +48,17 @@ def make_inputs(c, t, seed):
 
 
 def bench(fn, x, chains):
-    out = fn(x, chains)
-    np.asarray(out)  # warm + honest sync
+    # honest sync through a TINY fetch: slicing the kernel output forces
+    # execution to finish, but moves 256 bytes instead of the ~30 MB
+    # signal, so the tunnel's D2H bandwidth stays out of the measurement.
+    def sync(y):
+        return np.asarray(y[0, :8, :8])
+
+    sync(fn(x, chains))  # warm (compile both programs)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        np.asarray(fn(x, chains))
+        sync(fn(x, chains))
         times.append(time.perf_counter() - t0)
     return float(np.median(times) * 1e3)
 
@@ -64,8 +72,19 @@ def main():
         row = [f"C={c:<4} T={t:<7} bank={wb / 2**20:.2f}MB"]
         for concat in (False, True):
             rp.CONCAT_TAPS = concat
-            fn = jax.jit(lambda x_, ch_, _v=concat: rp.fused_mrf(
-                x_, ch_, KS, DIL, tile=1024))
+
+            # chain CALLS dependent applications so the tunnel round trip
+            # amortizes to ~1/CALLS of the wall reading (the kernel output
+            # shape matches its input, so it self-composes)
+            CALLS = 10
+
+            def chained(x_, ch_, _v=concat):
+                y = x_
+                for _ in range(CALLS):
+                    y = rp.fused_mrf(y, ch_, KS, DIL, tile=1024)
+                return y
+
+            fn = jax.jit(chained)
             try:
                 ms = bench(fn, x, chains)
             except Exception as e:  # VMEM blowout etc: report, keep going
@@ -73,8 +92,9 @@ def main():
                 row.append(f"concat={concat}: FAILED {type(e).__name__}")
                 continue
             rp.CONCAT_TAPS = False
+            ms /= 10  # CALLS
             total[concat] += ms
-            row.append(f"concat={concat}: {ms:7.3f} ms")
+            row.append(f"concat={concat}: {ms:7.3f} ms/call")
         print("  ".join(row))
     print(f"TOTAL per-tap {total[False]:.3f} ms vs concat {total[True]:.3f} ms")
 
