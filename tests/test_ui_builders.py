@@ -123,6 +123,25 @@ def test_index_auto_match(tmp_path, monkeypatch):
     assert tabs._match_index("") == ""
 
 
+def test_index_scans_accept_migrated_faiss_files(tmp_path, monkeypatch):
+    """Reference users' faiss .index files appear in the UI dropdowns and
+    auto-match (native .index.npz preferred when both exist)."""
+    monkeypatch.chdir(tmp_path)
+    a = tmp_path / "logs" / "migrated"
+    a.mkdir(parents=True)
+    (a / "added_IVF256_Flat_nprobe_1_migrated_v2.index").write_bytes(b"x")
+    b = tmp_path / "logs" / "native"
+    b.mkdir(parents=True)
+    (b / "native.index.npz").write_bytes(b"x")
+    (b / "added_IVF9_Flat_nprobe_1_native_v2.index").write_bytes(b"x")
+
+    choices = tabs._index_choices()
+    assert any(c.endswith("migrated_v2.index") for c in choices)
+    assert any(c.endswith("native.index.npz") for c in choices)
+    assert tabs._match_index(str(a / "migrated_10e.npz")).endswith(".index")
+    assert tabs._match_index(str(b / "native_10e.npz")).endswith(".index.npz")
+
+
 def test_preset_export_apply_roundtrip(tmp_path, monkeypatch):
     from rvc_tpu.utils import presets
 
