@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .commons import Conv1d, leaky_relu
+from .commons import SCAN_UNROLL, Conv1d, leaky_relu
 
 
 def _rel_to_abs(x: jax.Array) -> jax.Array:
@@ -274,6 +274,7 @@ class Encoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.n_layers,
+            unroll=SCAN_UNROLL,
         )
         (x, _, _), _ = scan(
             self.hidden_channels,

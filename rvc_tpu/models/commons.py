@@ -12,6 +12,7 @@ normalization is an explicit reparameterization rather than a forward hook.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -19,6 +20,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 LRELU_SLOPE = 0.1
+
+# lax.scan unroll factor for the uniform layer stacks (WaveNet, rel-pos
+# transformer). 1 = pure loop (smallest program, fastest compile); higher
+# trades compile time for less per-iteration loop bookkeeping. Chip A/B
+# (docs/PERFORMANCE.md): unroll=4 changes batch-8 train throughput by 0%
+# — the scan bodies dominate, not the loop machinery — so 1 stays the
+# default and the knob exists for re-probing on future toolchains.
+SCAN_UNROLL = max(1, int(os.environ.get("RVC_TPU_SCAN_UNROLL", "1")))
 
 
 def leaky_relu(x: jax.Array, slope: float = LRELU_SLOPE) -> jax.Array:
@@ -395,6 +404,7 @@ class WaveNet(nn.Module):
                 split_rngs={"params": True},
                 length=n_scan,
                 in_axes=0,
+                unroll=SCAN_UNROLL,
             )
             (x, output, _), _ = scan(
                 self.hidden_channels, self.kernel_size, name="layers"
