@@ -19,7 +19,11 @@ from ..embedders import load_embedder
 from ..models.synthesizer import Synthesizer
 from ..ops.retrieval import FeatureIndex
 from ..utils.audio_io import load_audio, resample, save_audio
-from ..utils.checkpoints import load_checkpoint, load_rvc_pth
+from ..utils.checkpoints import (
+    derive_synth_arch,
+    load_checkpoint,
+    load_rvc_pth,
+)
 from ..utils.split_audio import merge_audio, process_audio
 from .pipeline import Pipeline, PipelineConfig
 from .postprocess import apply_post_process
@@ -136,9 +140,19 @@ class VoiceConverter:
                 params["enc_p"]["emb_phone"]["kernel"]).shape[0])
         except Exception:
             feat_dim = 768
+        # rebuild to the checkpoint's recorded architecture (reference:
+        # Synthesizer(*cpt["config"]), infer.py:469-483) — the sr preset
+        # only supplies whatever the config list/weights don't pin down
+        arch, flow_layers = derive_synth_arch(params, meta)
+        spk = arch.pop("spk_embed_dim", spk)
         cfg = get_config(self.tgt_sr, vocoder=vocoder, use_f0=self.use_f0,
-                         spk_embed_dim=spk, text_enc_hidden_dim=feat_dim)
+                         spk_embed_dim=spk, text_enc_hidden_dim=feat_dim,
+                         **arch)
         model = Synthesizer.from_config(cfg)
+        if flow_layers is not None and flow_layers != model.flow_layers:
+            import dataclasses as _dc
+
+            model = _dc.replace(model, flow_layers=flow_layers)
         self.load_embedder_model(
             embedder_model, embedder_model_custom,
             final_proj_dim=feat_dim if feat_dim != 768 else None,
@@ -336,6 +350,14 @@ class VoiceConverter:
             )
 
         import jax as _jax
+
+        # multi-chip host: shard each device batch's rows over a dp mesh
+        # (every file independent — N chips serve N files per program) and
+        # size groups to keep every chip busy
+        n_dev = len(_jax.devices())
+        if n_dev > 1:
+            pipe.enable_batch_sharding()
+            device_batch = max(device_batch, n_dev)
 
         rng = _jax.random.PRNGKey(0)
         index_vectors = None

@@ -245,6 +245,9 @@ class Pipeline:
         # is attached (set_rmvpe)
         self._rmvpe = None
         self._convert_fused = None
+        # optional dp mesh for the batched paths (enable_batch_sharding)
+        self._mesh = None
+        self._repl_cache: Dict[str, Any] = {}
 
     # -- fused f0 + conversion (one device round trip) -----------------------
 
@@ -352,6 +355,56 @@ class Pipeline:
             return _np.clip(arr * 32767.0, -32768, 32767).astype(_np.int16)
         return arr
 
+    # -- multi-chip batch serving ---------------------------------------------
+
+    def enable_batch_sharding(self, mesh=None) -> None:
+        """Shard the batch axis of the batched conversion paths
+        (convert_segments_batch / voice_conversion_fused_many) over a device
+        mesh — pure data parallelism: every file's conversion is independent,
+        so N chips serve N files per program with no collectives on the hot
+        path (weights replicate once; the reference's batch mode loops files
+        serially on one GPU, infer.py:350-414). No-op with fewer than 2
+        devices. Default mesh: one 'dp' axis over jax.devices()."""
+        if mesh is None:
+            devs = jax.devices()
+            if len(devs) < 2:
+                return
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(devs), ("dp",))
+        self._mesh = mesh
+        self._repl_cache = {}
+
+    def _replicated(self, name: str, tree):
+        """Weights/index replicated over the mesh, uploaded once per mesh.
+        Cached by name + leading-leaf identity so a swapped index or model
+        re-replicates rather than serving stale data."""
+        leaves = jax.tree.leaves(tree)
+        key_id = id(leaves[0]) if leaves else None
+        hit = self._repl_cache.get(name)
+        if hit is None or hit[0] != key_id:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            hit = (key_id, jax.device_put(
+                tree, NamedSharding(self._mesh, PartitionSpec())))
+            self._repl_cache[name] = hit
+        return hit[1]
+
+    def _shard_rows(self, arr):
+        """Host array -> device array split on axis 0 over the 'dp' mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec("dp", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self._mesh, spec))
+
+    def _batch_rows(self, n: int) -> int:
+        """Pad a batch size up to a mesh multiple (rows replicate input 0
+        and are sliced away after) so axis 0 divides evenly."""
+        if self._mesh is None:
+            return n
+        nd = self._mesh.size
+        return -(-n // nd) * nd
+
     def voice_conversion_fused(
         self,
         audio_seg: np.ndarray,
@@ -413,22 +466,41 @@ class Pipeline:
         extra code on the device side; padding to the common bucket is the
         only waste. This is how a TPU server should run bulk conversion —
         per-call host<->device latency is amortized B ways and the MXU sees
-        B-fold larger matmuls."""
+        B-fold larger matmuls. With enable_batch_sharding, the batch axis
+        splits over the dp mesh: N chips convert N rows each program."""
+        b = len(audio_segs)
+        b_pad = self._batch_rows(b)
         t_reals = [s.shape[0] for s in audio_segs]
         t_pad = self._bucket_len(max(t_reals))
-        batch = np.zeros((len(audio_segs), t_pad), np.float32)
-        for i, s in enumerate(audio_segs):
+        batch = np.zeros((b_pad, t_pad), np.float32)
+        for i in range(b_pad):
+            s = audio_segs[i if i < b else 0]
             batch[i, : s.shape[0]] = s
-        p_lens = np.asarray([self._p_len(t, t_pad) for t in t_reals], np.int32)
+        p_lens = np.asarray(
+            [self._p_len(t_reals[i if i < b else 0], t_pad)
+             for i in range(b_pad)], np.int32)
+        sids = np.full((b_pad,), sid, np.int32)
+        if self._mesh is not None:
+            args = (
+                self._replicated("synth", self.synth_params),
+                self._replicated("emb", self.embedder_params),
+                self._replicated("rmvpe_p", self._rmvpe_params),
+                self._replicated("rmvpe_s", self._rmvpe_stats),
+                self._shard_rows(self._quantize_in(batch)),
+                self._shard_rows(p_lens),
+                self._shard_rows(sids),
+                None if index_vectors is None
+                else self._replicated("index", index_vectors),
+            )
+        else:
+            args = (
+                self.synth_params, self.embedder_params,
+                self._rmvpe_params, self._rmvpe_stats,
+                jnp.asarray(self._quantize_in(batch)),
+                jnp.asarray(p_lens), jnp.asarray(sids), index_vectors,
+            )
         audio_out = self._convert_fused(
-            self.synth_params,
-            self.embedder_params,
-            self._rmvpe_params,
-            self._rmvpe_stats,
-            jnp.asarray(self._quantize_in(batch)),
-            jnp.asarray(p_lens),
-            jnp.full((len(audio_segs),), sid, jnp.int32),
-            index_vectors,
+            *args,
             jnp.asarray(index_rate, jnp.float32),
             jnp.asarray(protect, jnp.float32),
             jnp.asarray(pitch_shift, jnp.float32),
@@ -439,7 +511,7 @@ class Pipeline:
             f0_frames=t_pad // WINDOW + 1,
         )
         out = self._to_host(audio_out)
-        return [out[i, : int(p) * self.upp] for i, p in enumerate(p_lens)]
+        return [out[i, : int(p_lens[i]) * self.upp] for i in range(b)]
 
     def voice_conversion_fused_stream(
         self,
@@ -728,31 +800,48 @@ class Pipeline:
         """Convert several 16k segments in ONE device batch (no reference
         equivalent — batch mode there loops convert_audio serially,
         infer.py:350-414). All segments pad to a common bucket; per-segment
-        true lengths mask through the model."""
+        true lengths mask through the model. With enable_batch_sharding the
+        batch axis splits over the dp mesh."""
         use_pitch = pitches[0] is not None
         t_pad = self._bucket_len(max(len(s) for s in segments))
         frames_pad = t_pad // WINDOW
         b = len(segments)
-        audio_in = np.zeros((b, t_pad), np.float32)
-        pit = np.ones((b, frames_pad), np.int32)
-        pif = np.zeros((b, frames_pad), np.float32)
-        p_lens = np.zeros((b,), np.int32)
-        for i, seg in enumerate(segments):
+        b_pad = self._batch_rows(b)
+        audio_in = np.zeros((b_pad, t_pad), np.float32)
+        pit = np.ones((b_pad, frames_pad), np.int32)
+        pif = np.zeros((b_pad, frames_pad), np.float32)
+        p_lens = np.zeros((b_pad,), np.int32)
+        sids_arr = np.zeros((b_pad,), np.int32)
+        for i in range(b_pad):
+            j = i if i < b else 0  # pad rows replicate row 0, sliced off below
+            seg = segments[j]
             audio_in[i, : len(seg)] = seg
             p_lens[i] = self._p_len(len(seg), t_pad)
+            sids_arr[i] = sids[j]
             if use_pitch:
-                n = min(p_lens[i], len(pitches[i]))
-                pit[i, :n] = pitches[i][:n]
-                pif[i, :n] = pitchfs[i][:n]
+                n = min(p_lens[i], len(pitches[j]))
+                pit[i, :n] = pitches[j][:n]
+                pif[i, :n] = pitchfs[j][:n]
+        if self._mesh is not None:
+            args = (
+                self._replicated("synth", self.synth_params),
+                self._replicated("emb", self.embedder_params),
+                self._shard_rows(audio_in),
+                self._shard_rows(pit),
+                self._shard_rows(pif),
+                self._shard_rows(p_lens),
+                self._shard_rows(sids_arr),
+                None if index_vectors is None
+                else self._replicated("index", index_vectors),
+            )
+        else:
+            args = (
+                self.synth_params, self.embedder_params,
+                jnp.asarray(audio_in), jnp.asarray(pit), jnp.asarray(pif),
+                jnp.asarray(p_lens), jnp.asarray(sids_arr), index_vectors,
+            )
         out = self._to_host(self._convert(
-            self.synth_params,
-            self.embedder_params,
-            jnp.asarray(audio_in),
-            jnp.asarray(pit),
-            jnp.asarray(pif),
-            jnp.asarray(p_lens),
-            jnp.asarray(np.asarray(sids, np.int32)),
-            index_vectors,
+            *args,
             jnp.asarray(index_rate, jnp.float32),
             jnp.asarray(protect, jnp.float32),
             rng,

@@ -470,6 +470,54 @@ def load_rvc_pth(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return params, meta
 
 
+def derive_synth_arch(
+    params: Dict[str, Any], meta: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Optional[int]]:
+    """Architecture overrides for rebuilding a Synthesizer around loaded
+    weights. The reference builds positionally from the deployable .pth's
+    18-element config list (rvc/infer/infer.py:469-483,
+    Synthesizer(*cpt["config"])); mirror that so non-default-dims
+    checkpoints load instead of ScopeParamShapeError-ing against the
+    sample-rate preset. The flow WaveNet depth is NOT in the config list —
+    shape-derive it: each coupling's cond_layer emits 2*hidden*n_layers
+    channels. Returns (get_config overrides, flow_layers or None)."""
+    over: Dict[str, Any] = {}
+    cfg_list = meta.get("config") or []
+    if len(cfg_list) == 18:
+        try:
+            over = dict(
+                filter_length=(int(cfg_list[0]) - 1) * 2,
+                inter_channels=int(cfg_list[2]),
+                hidden_channels=int(cfg_list[3]),
+                filter_channels=int(cfg_list[4]),
+                n_heads=int(cfg_list[5]),
+                n_layers=int(cfg_list[6]),
+                kernel_size=int(cfg_list[7]),
+                p_dropout=float(cfg_list[8]),
+                resblock_kernel_sizes=tuple(int(k) for k in cfg_list[10]),
+                resblock_dilation_sizes=tuple(
+                    tuple(int(d) for d in t) for t in cfg_list[11]
+                ),
+                upsample_rates=tuple(int(r) for r in cfg_list[12]),
+                upsample_initial_channel=int(cfg_list[13]),
+                upsample_kernel_sizes=tuple(int(k) for k in cfg_list[14]),
+                spk_embed_dim=int(cfg_list[15]),
+                gin_channels=int(cfg_list[16]),
+            )
+        except (TypeError, ValueError):
+            over = {}
+    flow_layers = None
+    try:
+        c0 = params["flow"]["coupling_0"]
+        hidden = int(np.asarray(c0["pre"]["kernel"]).shape[-1])
+        cond_out = int(np.asarray(c0["enc"]["cond_layer"]["kernel"]).shape[-1])
+        if hidden > 0 and cond_out % (2 * hidden) == 0:
+            flow_layers = cond_out // (2 * hidden)
+    except (KeyError, TypeError, IndexError):
+        pass
+    return over, flow_layers
+
+
 # ---------------------------------------------------------------------------
 # native checkpoint format
 # ---------------------------------------------------------------------------
