@@ -39,6 +39,28 @@ from .folded_conv import fold_weights_sparse
 # Read at trace time — toggle the module global before tracing.
 CONCAT_TAPS = False
 
+# Roll-traffic variants for the per-tap shifted views (scripts/
+# probe_mrf_taps.py). ROLL_BF16 casts the conv input to the dot dtype ONCE
+# and rolls the half-width bf16 value — bit-identical results (roll is pure
+# data movement, so cast-then-roll == roll-then-cast) at ~1/3 the per-tap
+# VPU bytes; chip-measured -2.4% across the three 48k stages (15.70 ->
+# 15.32 ms/conversion), which puts the kernels AT the chip's demonstrated
+# bf16 matmul rate (~96.5 TFLOP/s): the tap FLOPs alone cost ~15.4 ms at
+# that rate, so this lever is closed — further gains need fewer FLOPs, not
+# better scheduling. PLTPU_ROLL (the Mosaic rotate primitive) crashes this
+# toolchain's compiler on bf16 operands — keep False until it moves.
+ROLL_BF16 = True
+PLTPU_ROLL = False
+
+
+def _roll_rows(a, s):
+    """roll a by -s along axis 0 (rows); s may be negative."""
+    if s == 0:
+        return a
+    if PLTPU_ROLL:
+        return pltpu.roll(a, (-s) % a.shape[0], 0)
+    return jnp.roll(a, -s, axis=0)
+
 
 def _plan(kernel_size: int, dilations: Sequence[int], fold: int):
     """Static SPARSE tap plan for the 6-conv chain: per conv the folded
@@ -379,11 +401,16 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
 
         concat_taps = CONCAT_TAPS
 
+        roll_bf16 = ROLL_BF16 and mm != dtype
+
         def conv(a, chain_i, conv_i):
             plan = plans[chain_i][conv_i]
             base = offsets[chain_i][conv_i]
             bias_row = chain_i * n_convs_per_chain + conv_i
             acc = jnp.zeros((buf_rows, fc), jnp.float32)
+            # cast once, roll the narrow value (bit-identical: roll is pure
+            # data movement, so cast-then-roll == roll-then-cast)
+            am = a.astype(mm) if roll_bf16 else a
             if concat_taps:
                 # one long-contraction dot per <=6 taps: the weight bank
                 # rows are contiguous in plan order, so a tap group is one
@@ -393,8 +420,7 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
                 for j0 in range(0, len(plan), group):
                     sub = plan[j0 : j0 + group]
                     cat = jnp.concatenate(
-                        [(a if s == 0 else jnp.roll(a, -s, axis=0)).astype(mm)
-                         for s in sub], axis=1)
+                        [_roll_rows(am, s).astype(mm) for s in sub], axis=1)
                     row = (base + j0) * fc
                     acc = acc + jnp.dot(
                         cat, w_ref[row : row + len(sub) * fc, :],
@@ -403,9 +429,9 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
             else:
                 for j, s in enumerate(plan):
                     row = (base + j) * fc
-                    shifted = a if s == 0 else jnp.roll(a, -s, axis=0)
                     acc = acc + jnp.dot(
-                        shifted.astype(mm), w_ref[row : row + fc, :],
+                        _roll_rows(am, s).astype(mm),
+                        w_ref[row : row + fc, :],
                         preferred_element_type=jnp.float32,
                     )
             return (acc + b_ref[bias_row : bias_row + 1, :]).astype(dtype)

@@ -16,6 +16,7 @@ BiGRU runs as two lax.scan passes (flax nn.RNN); decode is a vectorized
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -35,6 +36,55 @@ WIN = 1024
 HOP = 160
 
 
+class Conv3x3(nn.Module):
+    """3x3 same-padded 2D conv, parameter-identical to
+    nn.Conv(out, (3,3), padding=1, use_bias=False) (kernel [3,3,Ci,Co]).
+
+    When the contraction is wide enough (Ci >= MM_MIN_CH), computes the conv
+    as 9 shifted [B*H*W, Ci] @ [Ci, Co] matmuls accumulated in f32 instead
+    of lax.conv: the UNet's deep levels run at tiny spatial extents
+    (T/32 x 4 at C=512) where XLA's conv tiling leaves the MXU idle, while
+    the reformulation keeps full 128-lane contractions regardless of the
+    spatial shape. Identical sums to the conv (f32 accumulation both ways).
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
+            (3, 3, in_ch, self.out_channels),
+        )
+        if in_ch < MM_MIN_CH:
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        h, w = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        k = kernel.astype(x.dtype)
+        acc = None
+        for dt in range(3):
+            for df in range(3):
+                xs = jax.lax.slice(
+                    xp, (0, dt, df, 0), (xp.shape[0], dt + h, df + w, in_ch))
+                term = jnp.einsum(
+                    "bhwi,io->bhwo", xs, k[dt, df],
+                    preferred_element_type=jnp.float32)
+                acc = term if acc is None else acc + term
+        return acc.astype(x.dtype)
+
+
+# shifted-matmul threshold: contraction width (input channels) at which
+# Conv3x3 leaves lax.conv for the 9-matmul form. Chip-probed in
+# scripts/probe_rmvpe_conv.py; 10**9 disables it.
+MM_MIN_CH = int(os.environ.get("RVC_TPU_RMVPE_MM_MIN_CH", "64"))
+
+
 class ConvBlockRes(nn.Module):
     """Two BN-conv-relu stages with residual (RMVPE.py:13-57)."""
 
@@ -43,10 +93,10 @@ class ConvBlockRes(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
-        y = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        y = Conv3x3(self.out_channels, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = Conv3x3(self.out_channels, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn2")(y)
         y = nn.relu(y)
         if in_ch != self.out_channels:

@@ -63,40 +63,60 @@ def bench(fn, x, chains):
     return float(np.median(times) * 1e3)
 
 
+def _chained_fn(variant_tag, tile=1024):
+    # chain CALLS dependent applications so the tunnel round trip
+    # amortizes to ~1/CALLS of the wall reading (the kernel output
+    # shape matches its input, so it self-composes)
+    CALLS = 10
+
+    def chained(x_, ch_, _v=variant_tag, _t=tile):
+        y = x_
+        for _ in range(CALLS):
+            y = rp.fused_mrf(y, ch_, KS, DIL, tile=_t)
+        return y
+
+    return jax.jit(chained), CALLS
+
+
 def main():
     print(f"backend={jax.default_backend()} reps={REPS}")
-    total = {False: 0.0, True: 0.0}
+    defaults = (rp.CONCAT_TAPS, rp.ROLL_BF16, rp.PLTPU_ROLL)
+    # (CONCAT_TAPS, ROLL_BF16, PLTPU_ROLL, tile)
+    variants = [
+        ("base", (False, False, False, 1024)),
+        ("roll_bf16", (False, True, False, 1024)),
+        ("bf16+pltpu", (False, True, True, 1024)),
+        ("bf16@t2048", (False, True, False, 2048)),
+    ]
+    total = {name: 0.0 for name, _ in variants}
     for c, t in STAGES:
         x, chains = make_inputs(c, t, seed=c)
         wb = rp.mrf_weight_bytes(c, t, KS, DIL) // 2  # bf16 bank
-        row = [f"C={c:<4} T={t:<7} bank={wb / 2**20:.2f}MB"]
-        for concat in (False, True):
-            rp.CONCAT_TAPS = concat
-
-            # chain CALLS dependent applications so the tunnel round trip
-            # amortizes to ~1/CALLS of the wall reading (the kernel output
-            # shape matches its input, so it self-composes)
-            CALLS = 10
-
-            def chained(x_, ch_, _v=concat):
-                y = x_
-                for _ in range(CALLS):
-                    y = rp.fused_mrf(y, ch_, KS, DIL, tile=1024)
-                return y
-
-            fn = jax.jit(chained)
+        print(f"C={c:<4} T={t:<7} bank={wb / 2**20:.2f}MB")
+        ref_probe = None
+        for name, (concat, rbf16, proll, tile) in variants:
+            rp.CONCAT_TAPS, rp.ROLL_BF16, rp.PLTPU_ROLL = concat, rbf16, proll
+            fn, calls = _chained_fn(name, tile)
             try:
-                ms = bench(fn, x, chains)
-            except Exception as e:  # VMEM blowout etc: report, keep going
-                rp.CONCAT_TAPS = False
-                row.append(f"concat={concat}: FAILED {type(e).__name__}")
+                # correctness probe: a strided sample of the chained output
+                # must match the baseline bit-for-bit (all variants are
+                # data-movement-only reorganizations)
+                probe = np.asarray(fn(x, chains)[0, ::4999, :])
+                err = 0.0 if ref_probe is None else float(
+                    np.max(np.abs(probe.astype(np.float32)
+                                  - ref_probe.astype(np.float32))))
+                if ref_probe is None:
+                    ref_probe = probe
+                ms = bench(fn, x, chains) / calls
+            except Exception as e:  # VMEM blowout / Mosaic crash: keep going
+                print(f"  {name:<11} FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}")
                 continue
-            rp.CONCAT_TAPS = False
-            ms /= 10  # CALLS
-            total[concat] += ms
-            row.append(f"concat={concat}: {ms:7.3f} ms/call")
-        print("  ".join(row))
-    print(f"TOTAL per-tap {total[False]:.3f} ms vs concat {total[True]:.3f} ms")
+            finally:
+                rp.CONCAT_TAPS, rp.ROLL_BF16, rp.PLTPU_ROLL = defaults
+            total[name] += ms
+            print(f"  {name:<11} {ms:7.3f} ms/call  maxdiff={err:g}")
+    print("TOTAL " + "  ".join(f"{n}={v:.3f}" for n, v in total.items()))
 
 
 if __name__ == "__main__":

@@ -206,3 +206,40 @@ def test_fused_mrf_concat_taps_matches():
         rp.CONCAT_TAPS = False
     rel = float(jnp.abs(base - cat).max() / jnp.abs(base).max())
     assert rel < 5e-6, rel
+
+
+def test_fused_mrf_roll_bf16_bit_identical():
+    """ROLL_BF16 (cast once, roll the bf16 value) is pure data-movement
+    reordering: cast-then-roll == roll-then-cast, so bf16-input outputs
+    must match the baseline BIT-FOR-BIT."""
+    from rvc_tpu.ops import resblock_pallas as rp
+
+    rng = np.random.default_rng(11)
+    T, C = 8192, 32
+    dil = (1, 3, 5)
+    kernel_sizes = (3, 7, 11)
+    x = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.bfloat16)
+    chains = []
+    for K in kernel_sizes:
+        chains.append((
+            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
+             for _ in dil],
+            [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+             for _ in dil],
+        ))
+    default = rp.ROLL_BF16
+    try:
+        rp.ROLL_BF16 = False
+        base = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
+                            interpret=True)
+        rp.ROLL_BF16 = True
+        out = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
+                           interpret=True)
+    finally:
+        rp.ROLL_BF16 = default
+    assert base.dtype == out.dtype == jnp.bfloat16
+    assert bool((base == out).all())
