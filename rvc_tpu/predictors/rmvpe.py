@@ -83,6 +83,41 @@ class Conv3x3(nn.Module):
 # Conv3x3 leaves lax.conv for the 9-matmul form. Chip-probed in
 # scripts/probe_rmvpe_conv.py; 10**9 disables it.
 MM_MIN_CH = int(os.environ.get("RVC_TPU_RMVPE_MM_MIN_CH", "64"))
+# same idea for the decoder's 2x ConvTranspose (polyphase matmuls).
+# Chip-probed a slight LOSS vs lax.conv (5.64 vs 5.54 ms/salience, r3 —
+# the dilated conv is already matmul-shaped enough for XLA here), so the
+# default keeps lax.conv; the kernel stays behind this knob for future
+# toolchains (see docs/PERFORMANCE.md).
+CONVT_MM_MIN_CH = int(os.environ.get("RVC_TPU_RMVPE_CONVT_MM_MIN_CH", str(10**9)))
+
+
+def _convt2x2_mm(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """ConvTranspose2d k3 s2 p1 outpad1 (exact 2x up) as 9 polyphase
+    matmuls — same small-spatial MXU rationale as Conv3x3. torch semantics:
+    out[2i + k - 1] += x[i] W[k] per dim, so output phase r=0 takes the
+    single k=1 tap and r=1 takes k=2 (same block) + k=0 (next block).
+    kernel: [3, 3, Ci, Co] (unflipped)."""
+    b, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    k = kernel.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    xh = jax.lax.slice(xp, (0, 1, 0, 0), (b, h + 1, w, ci))   # x[i+1, j]
+    xw = jax.lax.slice(xp, (0, 0, 1, 0), (b, h, w + 1, ci))   # x[i, j+1]
+    xhw = jax.lax.slice(xp, (0, 1, 1, 0), (b, h + 1, w + 1, ci))
+
+    def mm(xs, kh, kw):
+        return jnp.einsum("bhwi,io->bhwo", xs, k[kh, kw],
+                          preferred_element_type=jnp.float32)
+
+    p00 = mm(x, 1, 1)
+    p01 = mm(x, 1, 2) + mm(xw, 1, 0)
+    p10 = mm(x, 2, 1) + mm(xh, 0, 1)
+    p11 = mm(x, 2, 2) + mm(xh, 0, 2) + mm(xw, 2, 0) + mm(xhw, 0, 0)
+    y = jnp.stack(
+        [jnp.stack([p00, p01], axis=3), jnp.stack([p10, p11], axis=3)],
+        axis=2,
+    )  # [B, H, 2, W, 2, Co]
+    return y.reshape(b, 2 * h, 2 * w, co).astype(x.dtype)
 
 
 class ConvBlockRes(nn.Module):
@@ -135,14 +170,17 @@ class ResDecoderBlock(nn.Module):
             nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
             (3, 3, c, self.out_channels),
         )
-        y = jax.lax.conv_general_dilated(
-            x,
-            jnp.flip(kernel, axis=(0, 1)),
-            window_strides=(1, 1),
-            padding=((1, 2), (1, 2)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if c >= CONVT_MM_MIN_CH:
+            y = _convt2x2_mm(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                jnp.flip(kernel, axis=(0, 1)),
+                window_strides=(1, 1),
+                padding=((1, 2), (1, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="up_bn")(y)
         y = nn.relu(y)
         y = jnp.concatenate([y, skip], axis=-1)

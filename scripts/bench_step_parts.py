@@ -140,14 +140,20 @@ def main(batch_size: int = 8, frames: int = 400) -> None:
     rows.append(("multiscale mel fwd+bwd (8 STFTs)",
                  bench(msmel_fb, y_hat, wave)))
 
+    # full step: thread DONATED state through the loop (returning only a
+    # scalar would let XLA dead-code-eliminate the parameter updates)
     step = jax.jit(
         make_train_step(cfg, model_g, model_d, tx_g, tx_d,
-                        steps_per_epoch=100))
-    def run_step(s, b, r):
-        return step(s, b, r)[1]["loss_disc"]
-    full = jax.jit(run_step)
-    rows.append(("FULL fused step", bench(full, state, batch,
-                                          jax.random.PRNGKey(1))))
+                        steps_per_epoch=100),
+        donate_argnums=(0,))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    np.asarray(metrics["loss_disc"])  # warm
+    t0 = time.perf_counter()
+    for i in range(REPS):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    np.asarray(metrics["loss_disc"])
+    rows.append(("FULL fused step (donated chain)",
+                 (time.perf_counter() - t0) / REPS * 1e3))
 
     print(f"\nB={B} frames={T} seg={t.segment_size} "
           f"double_d={t.double_d_update} reps={REPS}")

@@ -152,3 +152,25 @@ def test_rmvpe_bf16_salience_close_to_f32():
     # sigmoid outputs in [0,1]; bf16 keeps ~2-3 decimal digits
     assert np.abs(h16 - h32).mean() < 0.01
     assert np.abs(h16 - h32).max() < 0.08
+
+
+def test_rmvpe_convt2x2_mm_matches_lax_conv():
+    """The polyphase-matmul ConvTranspose (rmvpe._convt2x2_mm) must equal
+    the input-dilated lax.conv formulation it can replace. It defaults OFF
+    (chip-probed slight loss, docs/PERFORMANCE.md) but stays covered here
+    so the RVC_TPU_RMVPE_CONVT_MM_MIN_CH knob remains usable."""
+    import jax
+    from rvc_tpu.predictors.rmvpe import _convt2x2_mm
+
+    rng = np.random.default_rng(7)
+    for b, h, w, ci, co in ((1, 4, 4, 8, 5), (2, 7, 3, 16, 16)):
+        x = jnp.asarray(rng.normal(size=(b, h, w, ci)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, ci, co)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, jnp.flip(k, axis=(0, 1)), window_strides=(1, 1),
+            padding=((1, 2), (1, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = _convt2x2_mm(x, k)
+        assert got.shape == (b, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
