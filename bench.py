@@ -314,11 +314,36 @@ def bench_train(batch_size: int = 8, frames: int = 400) -> dict:
     }
 
 
-def main() -> None:
+def _pipeline_section() -> None:
+    """Child-process entry: pipeline bench -> one tagged JSON line."""
+    _configure_cache()
+    full = bench_full_pipeline()
+    print("SECTION_JSON " + json.dumps(full), flush=True)
+
+
+def _train_section(with_b16: bool) -> None:
+    """Child-process entry: train bench (b8, optionally b16)."""
+    _configure_cache()
+    rec = {k: round(v, 3) for k, v in bench_train().items()}
+    print("SECTION_JSON " + json.dumps(rec), flush=True)  # b8 survives a
+    if with_b16:                                          # later b16 fault
+        b16 = bench_train(batch_size=16)
+        rec["train_steps_per_sec_b16"] = round(b16["train_steps_per_sec"], 3)
+        rec["train_audio_sec_per_sec_b16"] = round(
+            b16["train_audio_sec_per_sec"], 3)
+        print("SECTION_JSON " + json.dumps(rec), flush=True)
+
+
+def _graph_section() -> None:
+    """Child-process entry: graph-only bench."""
+    _configure_cache()
+    print("SECTION_JSON " + json.dumps({"graph_xrt": round(bench_graph_only(), 2)}),
+          flush=True)
+
+
+def _configure_cache() -> None:
     import jax
 
-    # repo-local persistent cache: survives across driver rounds on the
-    # same host, so warm-up compiles are a one-time cost
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_bench_cache")
     try:
@@ -327,39 +352,83 @@ def main() -> None:
     except Exception:
         pass
 
-    # Stay under the driver's wall-clock: sections are ordered by importance
-    # and later ones are skipped (not failed) when the budget runs out.
+
+def _run_section(name: str, args: list, timeout_s: float):
+    """Run one bench section in a CHILD process; return (dict|None, error).
+
+    Section isolation is a hard requirement since round 3: a TPU kernel
+    fault kills the whole worker process, and an in-process train fault ate
+    the train AND graph numbers of that round's bench. A child crash now
+    costs only its own section; the tagged-line protocol keeps any
+    partial result the child managed to print (e.g. the b8 train number
+    when the b16 variant faults). The child inherits stderr for progress
+    logs; the parent never imports jax, so its final JSON line always
+    prints."""
+    import subprocess
+
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name]
+            + args,
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"section {name} timed out after {timeout_s:.0f}s"
+    result = None
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("SECTION_JSON "):
+            result = json.loads(line[len("SECTION_JSON "):])  # last wins
+    _log(f"section {name} rc={proc.returncode} "
+         f"{time.perf_counter()-t0:.1f}s")
+    if result is None:
+        tail = (proc.stdout or "").strip().splitlines()
+        return None, (f"section {name} rc={proc.returncode}: "
+                      + " | ".join(tail[-2:]))[:250]
+    if proc.returncode != 0:
+        result.setdefault(
+            "partial_error", f"section {name} rc={proc.returncode}")
+    return result, None
+
+
+def main() -> None:
+    # Section dispatch: `bench.py --section <name>` runs one section
+    # in-process (invoked by the parent below as a child).
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        name = sys.argv[2]
+        if name == "pipeline":
+            _pipeline_section()
+        elif name == "train":
+            _train_section(with_b16="--b16" in sys.argv)
+        elif name == "graph":
+            _graph_section()
+        else:
+            raise SystemExit(f"unknown section {name}")
+        return
+
+    # Parent: pure orchestration, no jax import — a chip fault in any
+    # section can never prevent the final JSON line from printing.
     budget_s = float(os.environ.get("RVC_BENCH_BUDGET_S", "480"))
     start = time.perf_counter()
 
     def left() -> float:
         return budget_s - (time.perf_counter() - start)
 
-    record = {}
-    t0 = time.perf_counter()
-    # Hard watchdog: the remote compile service stalls unpredictably (warm
-    # runs observed 36-786 s). A stall inside the pipeline bench must not
-    # hang the process past the driver's kill — the JSON line below must
-    # ALWAYS print, even if it reports a failure.
-    import signal
-
-    def _pipe_deadline(signum, frame):
-        raise TimeoutError("pipeline bench watchdog expired")
-
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_bench_cache")
+    last_good_path = os.path.join(cache_dir, "last_good.json")
     hard_cap = float(os.environ.get("RVC_BENCH_HARD_CAP_S",
                                     str(max(600.0, budget_s + 120.0))))
-    last_good_path = os.path.join(cache_dir, "last_good.json")
-    old_h = signal.signal(signal.SIGALRM, _pipe_deadline)
-    signal.alarm(int(hard_cap))
-    try:
-        full = bench_full_pipeline()
-    except Exception as e:
+
+    record = {}
+    full, err = _run_section("pipeline", [], hard_cap)
+    if full is None:
         # emit an honest failure record (value 0) with the last successful
         # run attached for context, then stop — the same stall would eat
         # the remaining sections too
         fail = {"metric": "vc_e2e_realtime_factor_48k", "value": 0.0,
-                "unit": "x_realtime", "vs_baseline": 0.0,
-                "error": f"{type(e).__name__}: {e}"[:200]}
+                "unit": "x_realtime", "vs_baseline": 0.0, "error": err}
         try:
             with open(last_good_path) as f:
                 fail["last_good"] = json.load(f)
@@ -367,69 +436,32 @@ def main() -> None:
             pass
         print(json.dumps(fail))
         return
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old_h)
     record.update({k: (round(v, 2) if isinstance(v, float) else v)
                    for k, v in full.items()
                    if k not in ("full_xrt", "stream_xrt")})
     record["latency_xrt"] = round(full["full_xrt"], 2)
-    _log(f"full pipeline bench done {time.perf_counter()-t0:.1f}s "
-         f"({left():.0f}s budget left)")
-    # train-step throughput is the second north star — run it whenever any
-    # budget remains (warm-cache cost ~40 s; the persistent cache in
-    # .jax_bench_cache makes cold compiles a one-time event per graph)
-    # left() > -120: train is the second north star — run it even when the
+    _log(f"pipeline section done ({left():.0f}s budget left)")
+
+    # train-step throughput is the second north star — run it even when the
     # pipeline warmup overran the budget (compile-service stalls have eaten
     # 400+ s of "warm" runs); only a catastrophic overrun skips it.
     if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1" and left() > -120:
-        # Hard watchdog: a compile-service stall inside bench_train must
-        # not hold the process past the final record print (the driver's
-        # kill would lose the already-measured pipeline numbers too). The
-        # alarm raises into the except below; the record still prints.
-        import signal
-
-        def _deadline(signum, frame):
-            raise TimeoutError("train bench watchdog expired")
-
-        budget = max(60.0, min(300.0, left() + 120.0))
-        old = signal.signal(signal.SIGALRM, _deadline)
-        signal.alarm(int(budget))
-        try:
-            t0 = time.perf_counter()
-            record.update({k: round(v, 3) for k, v in bench_train().items()})
-            _log(f"train bench done {time.perf_counter()-t0:.1f}s")
-            if left() > 60:
-                # batch-16 operating point: audio-throughput saturates here
-                # (~50 audio-s/s, docs/PERFORMANCE.md scaling curve)
-                b16 = bench_train(batch_size=16)
-                record["train_steps_per_sec_b16"] = round(
-                    b16["train_steps_per_sec"], 3)
-                record["train_audio_sec_per_sec_b16"] = round(
-                    b16["train_audio_sec_per_sec"], 3)
-                _log(f"train b16 bench done {time.perf_counter()-t0:.1f}s")
-        except Exception as e:  # train bench must not sink the whole run
-            record["train_error"] = f"{type(e).__name__}: {e}"[:200]
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
+        t_budget = max(120.0, min(360.0, left() + 120.0))
+        args = ["--b16"] if left() > 60 else []
+        trec, terr = _run_section("train", args, t_budget)
+        if trec is not None:
+            record.update(trec)
+        else:
+            record["train_error"] = terr
     else:
         record.setdefault("train_skipped", "budget")
+
     if left() > 90:
-        # same watchdog discipline as the pipeline/train sections: a stall
-        # or failure here must not discard the already-measured record
-        t0 = time.perf_counter()
-        old = signal.signal(signal.SIGALRM, _pipe_deadline)
-        signal.alarm(int(max(60, left())))
-        try:
-            record["graph_xrt"] = round(bench_graph_only(), 2)
-            _log(f"graph bench done {time.perf_counter()-t0:.1f}s")
-        except Exception as e:
-            record["graph_error"] = str(e)[:200]
-            _log(f"graph bench failed: {e}")
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
+        grec, gerr = _run_section("graph", [], max(120.0, left()))
+        if grec is not None:
+            record.update(grec)
+        else:
+            record["graph_error"] = gerr
 
     # headline = sustained throughput of the full conversion path per chip
     # (the serving metric, and stable); single-call latency rides along as

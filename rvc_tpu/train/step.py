@@ -111,6 +111,7 @@ def make_train_step(
     steps_per_epoch: int = 1,
     balancer_freeze_epochs: int = 3,
     lr_schedule=None,
+    debug_grads: bool = False,
 ):
     """Builds `train_step(state, batch, rng) -> (state, metrics)`.
 
@@ -309,6 +310,15 @@ def make_train_step(
             "grad_norm_g": grad_norm_g,
             **aux,
         }
+        if debug_grads:
+            # Per-top-level-subtree gradient norms: lets callers (the
+            # multi-chip dryrun, smoke scripts) assert that gradient flow
+            # reaches EVERY module — a finite loss alone can't catch a
+            # stop_gradient or wiring bug that silently zeroes a subtree.
+            for k, sub in grads_g.items():
+                metrics[f"gsub_g/{k}"] = global_norm(sub)
+            for k, sub in grads_d.items():
+                metrics[f"gsub_d/{k}"] = global_norm(sub)
         return (
             state.replace(
                 step=state.step + 1,

@@ -177,8 +177,31 @@ COMMON_VOICES = [
 ]
 
 
+def _catalog_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "assets", "tts_voices.json")
+
+
+def load_voice_catalog() -> list:
+    """Static vendored catalog of the edge-tts neural voices (318 entries:
+    ShortName/Gender/Locale/FriendlyName), the offline equivalent of the
+    reference's rvc/lib/tools/tts_voices.json — the TTS tab's dropdown is
+    fully populated without network access."""
+    import json
+
+    try:
+        with open(_catalog_path(), encoding="utf-8") as f:
+            return json.load(f)
+    except Exception:
+        return [{"ShortName": v, "Gender": "", "Locale": v[:5],
+                 "FriendlyName": v} for v in COMMON_VOICES]
+
+
 def list_voices() -> list:
-    """Full voice list via edge-tts when available, else the curated subset."""
+    """Full voice list: live via edge-tts when it has network, else the
+    vendored static catalog (reference parity: the dropdown always shows
+    the complete voice set)."""
     try:
         import asyncio
 
@@ -187,4 +210,4 @@ def list_voices() -> list:
         voices = asyncio.run(edge_tts.list_voices())
         return sorted(v["ShortName"] for v in voices)
     except Exception:
-        return list(COMMON_VOICES)
+        return [v["ShortName"] for v in load_voice_catalog()]
