@@ -17,39 +17,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-import os
-
 from .commons import Conv1d, leaky_relu, spectral_normalize
 
 PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
 
-# DiscriminatorP's (k,1) convs are pointwise along the period axis, so a
-# width-1 kernel im2cols into ONE [B*H_out*W, kh*Ci] @ [kh*Ci, Co] matmul —
-# the same small-spatial MXU reformulation as predictors.rmvpe.Conv3x3.
-# Applied when the contraction kh*Ci is at least this wide (the 1->32 entry
-# conv stays lax.conv). 10**9 disables. Chip-probed in scripts/probe_mpd.py.
-MM_MIN_CONTRACT = int(os.environ.get("RVC_TPU_MPD_MM_MIN_CONTRACT", "160"))
-
-
-def _convk1_mm(x: jax.Array, kernel: jax.Array, stride: int,
-               pad: int) -> jax.Array:
-    """[B,H,W,Ci] conv with kernel [kh,1,Ci,Co], strides (stride,1),
-    padding (pad,0) as kh strided slices + one matmul (f32 accumulate)."""
-    b, h, w, ci = x.shape
-    kh, _, _, co = kernel.shape
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)))
-    h_out = (h + 2 * pad - kh) // stride + 1
-    taps = [
-        jax.lax.slice(
-            xp, (0, k, 0, 0), (b, k + stride * (h_out - 1) + 1, w, ci),
-            (1, stride, 1, 1))
-        for k in range(kh)
-    ]
-    cols = jnp.stack(taps, axis=3)  # [B, H_out, W, kh, Ci]
-    y = jnp.einsum(
-        "bhwkc,kco->bhwo", cols, kernel[:, 0],
-        preferred_element_type=jnp.float32)
-    return y.astype(x.dtype)
+# NOTE (round 4): an im2col matmul lowering for the (k,1) period convs
+# (`_convk1_mm`, commit 900921d) was removed here. It was chip-probed
+# forward-only, but inside the full differentiated train step its backward
+# wedged the TPU at execution (the round-3 `bench_train` kernel fault;
+# bisected on-chip round 4 — Pallas fused-MRF exonerated, this lowering
+# reproduces the hang). MPD runs only in training, so the plain XLA conv
+# below is the production path; history preserves the experiment.
 
 
 class WNConv2d(nn.Module):
@@ -85,20 +63,16 @@ class WNConv2d(nn.Module):
             kernel = kernel / norm * g
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x = x.astype(kernel.dtype)
-        if (kw == 1 and self.strides[1] == 1 and self.padding[1] == 0
-                and kh * in_ch >= MM_MIN_CONTRACT):
-            y = _convk1_mm(x, kernel, self.strides[0], self.padding[0])
-        else:
-            y = jax.lax.conv_general_dilated(
-                x,
-                kernel,
-                window_strides=self.strides,
-                padding=(
-                    (self.padding[0], self.padding[0]),
-                    (self.padding[1], self.padding[1]),
-                ),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.strides,
+            padding=(
+                (self.padding[0], self.padding[0]),
+                (self.padding[1], self.padding[1]),
+            ),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         return y + bias
 
 

@@ -31,34 +31,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .folded_conv import fold_weights_sparse
 
-# Experimental MXU-shape variant (scripts/probe_mrf_taps.py): emit each
-# conv as ONE dot with a [taps*fc] contraction over the concatenated
-# shifted views, instead of `taps` separate [fc, fc] dots. Same math, same
-# weight-bank layout (rows are already contiguous in plan order); flips the
-# MXU work from many short-contraction dots to one long-contraction dot.
-# Read at trace time — toggle the module global before tracing.
-CONCAT_TAPS = False
-
-# Roll-traffic variants for the per-tap shifted views (scripts/
-# probe_mrf_taps.py). ROLL_BF16 casts the conv input to the dot dtype ONCE
-# and rolls the half-width bf16 value — bit-identical results (roll is pure
-# data movement, so cast-then-roll == roll-then-cast) at ~1/3 the per-tap
-# VPU bytes; chip-measured -2.4% across the three 48k stages (15.70 ->
-# 15.32 ms/conversion), which puts the kernels AT the chip's demonstrated
-# bf16 matmul rate (~96.5 TFLOP/s): the tap FLOPs alone cost ~15.4 ms at
-# that rate, so this lever is closed — further gains need fewer FLOPs, not
-# better scheduling. PLTPU_ROLL (the Mosaic rotate primitive) crashes this
-# toolchain's compiler on bf16 operands — keep False until it moves.
-ROLL_BF16 = True
-PLTPU_ROLL = False
+# Probe history (scripts/probe_mrf_taps.py, round 3, all chip-measured;
+# the losing variants were module-global toggles, now deleted — round-4
+# VERDICT flagged trace-time globals as a hazard class):
+#   - CONCAT_TAPS (one long-contraction dot per tap group): wash (~2%).
+#   - pltpu.roll (Mosaic rotate primitive): crashes this toolchain's
+#     compiler on bf16 operands; jnp.roll is the only roll used.
+#   - bf16 rolls (cast once, roll the half-width value): WINNER, -2.4%
+#     across the three 48k stages (15.70 -> 15.32 ms/conversion), now
+#     unconditional whenever the dot dtype is narrower than f32. This puts
+#     the kernels AT the chip's demonstrated bf16 matmul rate (~96.5
+#     TFLOP/s): the tap FLOPs alone cost ~15.4 ms at that rate, so this
+#     lever is closed — further gains need fewer FLOPs, not scheduling.
+# Round-4 bisect note: this kernel was a suspect for the round-3 train
+# fault and was EXONERATED on-chip (scripts/smoke_train_chip.py passes
+# with it enabled; the MPD im2col lowering was the culprit).
 
 
 def _roll_rows(a, s):
     """roll a by -s along axis 0 (rows); s may be negative."""
     if s == 0:
         return a
-    if PLTPU_ROLL:
-        return pltpu.roll(a, (-s) % a.shape[0], 0)
     return jnp.roll(a, -s, axis=0)
 
 
@@ -399,41 +392,22 @@ def _fused_mrf_impl(x, chains, kernel_sizes, dilations, slope, tile,
         inb = ((g >= 0) & (g < lf)).astype(dtype)
         x0 = xbuf[:].astype(dtype)
 
-        concat_taps = CONCAT_TAPS
-
-        roll_bf16 = ROLL_BF16 and mm != dtype
-
         def conv(a, chain_i, conv_i):
             plan = plans[chain_i][conv_i]
             base = offsets[chain_i][conv_i]
             bias_row = chain_i * n_convs_per_chain + conv_i
             acc = jnp.zeros((buf_rows, fc), jnp.float32)
             # cast once, roll the narrow value (bit-identical: roll is pure
-            # data movement, so cast-then-roll == roll-then-cast)
-            am = a.astype(mm) if roll_bf16 else a
-            if concat_taps:
-                # one long-contraction dot per <=6 taps: the weight bank
-                # rows are contiguous in plan order, so a tap group is one
-                # static slice. 6 caps the concat buffer (~buf_rows x 6*fc)
-                # inside the VMEM budget at the widest stage.
-                group = 6
-                for j0 in range(0, len(plan), group):
-                    sub = plan[j0 : j0 + group]
-                    cat = jnp.concatenate(
-                        [_roll_rows(am, s).astype(mm) for s in sub], axis=1)
-                    row = (base + j0) * fc
-                    acc = acc + jnp.dot(
-                        cat, w_ref[row : row + len(sub) * fc, :],
-                        preferred_element_type=jnp.float32,
-                    )
-            else:
-                for j, s in enumerate(plan):
-                    row = (base + j) * fc
-                    acc = acc + jnp.dot(
-                        _roll_rows(am, s).astype(mm),
-                        w_ref[row : row + fc, :],
-                        preferred_element_type=jnp.float32,
-                    )
+            # data movement, so cast-then-roll == roll-then-cast) — 1/3 the
+            # per-tap VPU bytes when mm is bf16
+            am = a.astype(mm)
+            for j, s in enumerate(plan):
+                row = (base + j) * fc
+                acc = acc + jnp.dot(
+                    _roll_rows(am, s),
+                    w_ref[row : row + fc, :],
+                    preferred_element_type=jnp.float32,
+                )
             return (acc + b_ref[bias_row : bias_row + 1, :]).astype(dtype)
 
         # Lockstep chain interleaving: the three chains are independent

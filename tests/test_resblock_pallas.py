@@ -174,51 +174,30 @@ def test_fused_mrf_grad_flows():
     assert g.shape == x.shape and bool(jnp.isfinite(g).all())
 
 
-def test_fused_mrf_concat_taps_matches():
-    """CONCAT_TAPS variant (one long-contraction dot per tap group) is
-    numerically the same chain, fp32 accumulation regrouped only."""
-    from rvc_tpu.ops import resblock_pallas as rp
-
-    rng = np.random.default_rng(9)
-    T, C = 8192, 32
-    dil = (1, 3, 5)
-    kernel_sizes = (3, 7, 11)
-    x = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.float32)
-    chains = []
-    for K in kernel_sizes:
-        chains.append((
-            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
-             for _ in dil],
-            [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
-             for _ in dil],
-            [jnp.asarray(rng.normal(size=(K, C, C)) * 0.05, jnp.float32)
-             for _ in dil],
-            [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
-             for _ in dil],
-        ))
-    base = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
-                        interpret=True)
-    rp.CONCAT_TAPS = True
-    try:
-        cat = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
-                           interpret=True)
-    finally:
-        rp.CONCAT_TAPS = False
-    rel = float(jnp.abs(base - cat).max() / jnp.abs(base).max())
-    assert rel < 5e-6, rel
-
-
-def test_fused_mrf_roll_bf16_bit_identical():
-    """ROLL_BF16 (cast once, roll the bf16 value) is pure data-movement
-    reordering: cast-then-roll == roll-then-cast, so bf16-input outputs
-    must match the baseline BIT-FOR-BIT."""
-    from rvc_tpu.ops import resblock_pallas as rp
-
+def test_bf16_roll_is_pure_data_movement():
+    """The fused_mrf bf16 fast path relies on cast-then-roll == roll-then-
+    cast (roll is pure data movement). Pin that invariant directly for the
+    shift set the tap plans actually use."""
     rng = np.random.default_rng(11)
-    T, C = 8192, 32
+    a = rng.normal(size=(1040, 128)).astype(np.float32)
+    for s in (-3, -1, 1, 2, 5):
+        rolled_then_cast = jnp.roll(jnp.asarray(a), -s, axis=0).astype(
+            jnp.bfloat16)
+        cast_then_rolled = jnp.roll(jnp.asarray(a).astype(jnp.bfloat16),
+                                    -s, axis=0)
+        assert bool((rolled_then_cast == cast_then_rolled).all()), s
+
+
+def test_fused_mrf_bf16_matches_direct():
+    """bf16-input fused_mrf (bf16 dots, unconditional since round 4)
+    tracks the f32 direct chain within bf16 tolerance."""
+    from rvc_tpu.ops import resblock_pallas as rp
+
+    rng = np.random.default_rng(13)
+    T, C = 4096, 32
     dil = (1, 3, 5)
     kernel_sizes = (3, 7, 11)
-    x = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.bfloat16)
+    x32 = jnp.asarray(rng.normal(size=(1, T, C)) * 0.3, jnp.float32)
     chains = []
     for K in kernel_sizes:
         chains.append((
@@ -231,15 +210,10 @@ def test_fused_mrf_roll_bf16_bit_identical():
             [jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
              for _ in dil],
         ))
-    default = rp.ROLL_BF16
-    try:
-        rp.ROLL_BF16 = False
-        base = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
-                            interpret=True)
-        rp.ROLL_BF16 = True
-        out = rp.fused_mrf(x, chains, kernel_sizes, dil, tile=512,
-                           interpret=True)
-    finally:
-        rp.ROLL_BF16 = default
-    assert base.dtype == out.dtype == jnp.bfloat16
-    assert bool((base == out).all())
+    ref = rp._direct_mrf(x32, chains, kernel_sizes, dil, 0.1)
+    out = rp.fused_mrf(x32.astype(jnp.bfloat16), chains, kernel_sizes, dil,
+                       tile=512, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    rel = float(jnp.abs(ref - out.astype(jnp.float32)).max()
+                / (jnp.abs(ref).max() + 1e-9))
+    assert rel < 0.1, rel  # bf16 storage + bf16 dots vs f32 chain
