@@ -353,7 +353,11 @@ def load_embedder(
     else:
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        params = module.init(rng, jnp.zeros((1, 3200)))["params"]
+        # jit the init: eager init dispatches thousands of tiny ops, each a
+        # device round trip — over a tunneled TPU this wedges for minutes
+        # (observed in run_extraction); one compiled program initializes in
+        # seconds on any backend.
+        params = jax.jit(module.init)(rng, jnp.zeros((1, 3200)))["params"]
     return module, params
 
 

@@ -114,7 +114,7 @@ class CREPE:
                  batch_stats: Optional[Dict[str, Any]] = None):
         self.model = CrepeModel(capacity)
         if params is None:
-            variables = self.model.init(
+            variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, WINDOW))
             )
             params = variables["params"]

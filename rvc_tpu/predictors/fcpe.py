@@ -245,7 +245,7 @@ class FCPE:
                  model: Optional[CFNaiveMelPE] = None):
         self.model = model or CFNaiveMelPE()
         if params is None:
-            params = self.model.init(
+            params = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 8, N_MELS))
             )["params"]
         self.params = params

@@ -322,7 +322,7 @@ class RMVPE:
                  model: Optional[E2EModel] = None):
         self.model = model or E2EModel()
         if params is None:
-            variables = self.model.init(
+            variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 32, N_MELS))
             )
             params = variables["params"]

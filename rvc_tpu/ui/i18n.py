@@ -5,6 +5,14 @@ config override, key->translation JSON per language, fallthrough to the key
 itself). Locale packs are JSON files `<lang>.json` in `languages_dir`; keys
 are the English UI strings. The reference ships 60 community-translated
 packs — ours loads any user-provided pack with the same schema.
+
+Translation status (round 4): 59 of the 60 packs carry full translations
+(authored in the round-4 scripted batch pass; see scripts/merge_locale.py).
+The one deliberate exception is `otq_OTQ` (Querétaro Otomi), which ships
+with English values for most keys: no reliable offline translation
+capability exists for Otomi, and shipping fabricated text would be worse
+than the documented English fallthrough. A community pack dropped into
+`languages/` replaces it with zero code changes.
 """
 
 from __future__ import annotations
