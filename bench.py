@@ -422,31 +422,45 @@ def main() -> None:
                                     str(max(600.0, budget_s + 120.0))))
 
     record = {}
-    full, err = _run_section("pipeline", [], hard_cap)
+    full, err = _run_section("pipeline", [], min(hard_cap, 480.0))
     if full is None:
-        # emit an honest failure record (value 0) with the last successful
-        # run attached for context, then stop — the same stall would eat
-        # the remaining sections too
-        fail = {"metric": "vc_e2e_realtime_factor_48k", "value": 0.0,
-                "unit": "x_realtime", "vs_baseline": 0.0, "error": err}
+        # The tunnel's compile/execute service stalls in windows of minutes
+        # (measured 2026-08-21: the same warm pipeline run took 109 s at
+        # 00:14 and >600 s at 00:47). One retry gives the run a second
+        # window; a warm pipeline completes in ~110-290 s, so a still-
+        # stalled service fails the retry quickly enough to leave budget
+        # for the remaining sections.
+        _log(f"pipeline attempt 1 failed ({err}); retrying once")
+        full, err2 = _run_section("pipeline", [], min(hard_cap, 330.0))
+        err = f"{err}; retry: {err2}" if full is None else None
+    if full is None:
+        # honest failure for the headline (value 0, error attached) — but a
+        # pipeline stall must not eat the train/graph numbers (the inverse
+        # of round 3, where section isolation saved the pipeline numbers
+        # from a train-step fault); fall through and run them.
+        record["pipeline_error"] = err
         try:
             with open(last_good_path) as f:
-                fail["last_good"] = json.load(f)
+                record["last_good"] = json.load(f)
         except Exception:
             pass
-        print(json.dumps(fail))
-        return
-    record.update({k: (round(v, 2) if isinstance(v, float) else v)
-                   for k, v in full.items()
-                   if k not in ("full_xrt", "stream_xrt")})
-    record["latency_xrt"] = round(full["full_xrt"], 2)
-    _log(f"pipeline section done ({left():.0f}s budget left)")
+    else:
+        record.update({k: (round(v, 2) if isinstance(v, float) else v)
+                       for k, v in full.items()
+                       if k not in ("full_xrt", "stream_xrt")})
+        record["latency_xrt"] = round(full["full_xrt"], 2)
+        _log(f"pipeline section done ({left():.0f}s budget left)")
 
     # train-step throughput is the second north star — run it even when the
     # pipeline warmup overran the budget (compile-service stalls have eaten
     # 400+ s of "warm" runs); only a catastrophic overrun skips it.
-    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1" and left() > -120:
-        t_budget = max(120.0, min(360.0, left() + 120.0))
+    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1":
+        # run train even deep over budget — it is the second north star and
+        # a pipeline stall says nothing about the next service window
+        # floor of 300 s: a stalled pipeline (failed or slow) says nothing
+        # about the next service window, and the train number is the second
+        # north star — never squeeze it below one honest warm attempt
+        t_budget = max(300.0, min(360.0, left() + 120.0))
         args = ["--b16"] if left() > 60 else []
         trec, terr = _run_section("train", args, t_budget)
         if trec is not None:
@@ -456,18 +470,30 @@ def main() -> None:
     else:
         record.setdefault("train_skipped", "budget")
 
-    if left() > 90:
+    if full is not None and left() > 90:
         grec, gerr = _run_section("graph", [], max(120.0, left()))
         if grec is not None:
             record.update(grec)
         else:
             record["graph_error"] = gerr
+    elif full is None:
+        # last-chance headline attempt: stall windows last minutes, and
+        # the train section above just burned a few — the service may have
+        # recovered since the two early attempts
+        full, err3 = _run_section("pipeline", [], min(hard_cap, 330.0))
+        if full is not None:
+            record.pop("pipeline_error", None)
+            record.pop("last_good", None)
+            record.update({k: (round(v, 2) if isinstance(v, float) else v)
+                           for k, v in full.items()
+                           if k not in ("full_xrt", "stream_xrt")})
+            record["latency_xrt"] = round(full["full_xrt"], 2)
 
     # headline = sustained throughput of the full conversion path per chip
     # (the serving metric, and stable); single-call latency rides along as
     # latency_xrt — through this tunnel it is dominated by +-30% round-trip
     # jitter (see docs/PERFORMANCE.md)
-    xrt = full.get("stream_xrt") or full["full_xrt"]
+    xrt = (full.get("stream_xrt") or full["full_xrt"]) if full else 0.0
     final = {
         "metric": "vc_e2e_realtime_factor_48k",
         "value": round(xrt, 2),
@@ -475,12 +501,13 @@ def main() -> None:
         "vs_baseline": round(xrt / 50.0, 3),
         **record,
     }
-    try:  # remember the last successful run for stall diagnostics
-        os.makedirs(cache_dir, exist_ok=True)
-        with open(last_good_path, "w") as f:
-            json.dump(final, f)
-    except Exception:
-        pass
+    if full is not None:
+        try:  # remember the last successful run for stall diagnostics
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(last_good_path, "w") as f:
+                json.dump(final, f)
+        except Exception:
+            pass
     print(json.dumps(final))
 
 
