@@ -341,6 +341,29 @@ def _graph_section() -> None:
           flush=True)
 
 
+def _all_section() -> None:
+    """Child-process entry: every section in ONE process/device client.
+
+    The tunnel's stall cost is per-client first-big-program-load (measured
+    2026-08-21: a warm pipeline took 21 min to load its first program, then
+    the full train section ran in 285 s in the SAME process). One child
+    therefore amortizes one stall across all three sections. Tagged lines
+    flush after each section, so a later kernel fault or parent timeout
+    keeps everything already printed."""
+    _configure_cache()
+    full = bench_full_pipeline()
+    print("SECTION_JSON " + json.dumps(full), flush=True)
+    rec = {k: round(v, 3) for k, v in bench_train().items()}
+    print("SECTION_JSON " + json.dumps(rec), flush=True)
+    b16 = bench_train(batch_size=16)
+    print("SECTION_JSON " + json.dumps({
+        "train_steps_per_sec_b16": round(b16["train_steps_per_sec"], 3),
+        "train_audio_sec_per_sec_b16": round(b16["train_audio_sec_per_sec"], 3),
+    }), flush=True)
+    print("SECTION_JSON " + json.dumps(
+        {"graph_xrt": round(bench_graph_only(), 2)}), flush=True)
+
+
 def _configure_cache() -> None:
     import jax
 
@@ -367,6 +390,7 @@ def _run_section(name: str, args: list, timeout_s: float):
     import subprocess
 
     t0 = time.perf_counter()
+    stdout, rc, err = "", 0, None
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name]
@@ -374,21 +398,30 @@ def _run_section(name: str, args: list, timeout_s: float):
             stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
             timeout=timeout_s,
         )
-    except subprocess.TimeoutExpired:
-        return None, f"section {name} timed out after {timeout_s:.0f}s"
+        stdout, rc = proc.stdout or "", proc.returncode
+    except subprocess.TimeoutExpired as e:
+        # salvage tagged lines the child flushed before the timeout (the
+        # combined section prints after each sub-bench exactly for this)
+        out = e.stdout or b""
+        stdout = out.decode(errors="replace") if isinstance(out, bytes) else out
+        err = f"section {name} timed out after {timeout_s:.0f}s"
     result = None
-    for line in (proc.stdout or "").splitlines():
+    for line in stdout.splitlines():
         if line.startswith("SECTION_JSON "):
-            result = json.loads(line[len("SECTION_JSON "):])  # last wins
-    _log(f"section {name} rc={proc.returncode} "
-         f"{time.perf_counter()-t0:.1f}s")
+            # merge in print order: later sections add keys, re-prints of
+            # the same section overwrite with the fuller record
+            result = {**(result or {}),
+                      **json.loads(line[len("SECTION_JSON "):])}
+    _log(f"section {name} rc={rc} {time.perf_counter()-t0:.1f}s"
+         + (f" ({err})" if err else ""))
     if result is None:
-        tail = (proc.stdout or "").strip().splitlines()
-        return None, (f"section {name} rc={proc.returncode}: "
-                      + " | ".join(tail[-2:]))[:250]
-    if proc.returncode != 0:
-        result.setdefault(
-            "partial_error", f"section {name} rc={proc.returncode}")
+        tail = stdout.strip().splitlines()
+        return None, err or (f"section {name} rc={rc}: "
+                             + " | ".join(tail[-2:]))[:250]
+    if err:
+        result.setdefault("partial_error", err)
+    elif rc != 0:
+        result.setdefault("partial_error", f"section {name} rc={rc}")
     return result, None
 
 
@@ -403,6 +436,8 @@ def main() -> None:
             _train_section(with_b16="--b16" in sys.argv)
         elif name == "graph":
             _graph_section()
+        elif name == "all":
+            _all_section()
         else:
             raise SystemExit(f"unknown section {name}")
         return
@@ -422,72 +457,103 @@ def main() -> None:
                                     str(max(600.0, budget_s + 120.0))))
 
     record = {}
-    full, err = _run_section("pipeline", [], min(hard_cap, 480.0))
-    if full is None:
-        # The tunnel's compile/execute service stalls in windows of minutes
-        # (measured 2026-08-21: the same warm pipeline run took 109 s at
-        # 00:14 and >600 s at 00:47). One retry gives the run a second
-        # window; a warm pipeline completes in ~110-290 s, so a still-
-        # stalled service fails the retry quickly enough to leave budget
-        # for the remaining sections.
-        _log(f"pipeline attempt 1 failed ({err}); retrying once")
-        full, err2 = _run_section("pipeline", [], min(hard_cap, 330.0))
-        err = f"{err}; retry: {err2}" if full is None else None
-    if full is None:
-        # honest failure for the headline (value 0, error attached) — but a
-        # pipeline stall must not eat the train/graph numbers (the inverse
-        # of round 3, where section isolation saved the pipeline numbers
-        # from a train-step fault); fall through and run them.
-        record["pipeline_error"] = err
-        try:
-            with open(last_good_path) as f:
-                record["last_good"] = json.load(f)
-        except Exception:
-            pass
-    else:
+    full = None        # pipeline result (carries full_xrt / stream_xrt)
+    have_train = False
+    have_graph = False
+
+    def _absorb_pipeline(rec: dict) -> None:
+        nonlocal full
+        full = rec
+        record.pop("pipeline_error", None)
+        record.pop("last_good", None)
         record.update({k: (round(v, 2) if isinstance(v, float) else v)
-                       for k, v in full.items()
-                       if k not in ("full_xrt", "stream_xrt")})
-        record["latency_xrt"] = round(full["full_xrt"], 2)
-        _log(f"pipeline section done ({left():.0f}s budget left)")
+                       for k, v in rec.items()
+                       if k not in ("full_xrt", "stream_xrt",
+                                    "train_steps_per_sec",
+                                    "train_audio_sec_per_sec",
+                                    "train_steps_per_sec_b16",
+                                    "train_audio_sec_per_sec_b16",
+                                    "graph_xrt")})
+        record["latency_xrt"] = round(rec["full_xrt"], 2)
 
-    # train-step throughput is the second north star — run it even when the
-    # pipeline warmup overran the budget (compile-service stalls have eaten
-    # 400+ s of "warm" runs); only a catastrophic overrun skips it.
-    if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1":
-        # run train even deep over budget — it is the second north star and
-        # a pipeline stall says nothing about the next service window
-        # floor of 300 s: a stalled pipeline (failed or slow) says nothing
-        # about the next service window, and the train number is the second
-        # north star — never squeeze it below one honest warm attempt
-        t_budget = max(300.0, min(360.0, left() + 120.0))
-        args = ["--b16"] if left() > 60 else []
-        trec, terr = _run_section("train", args, t_budget)
-        if trec is not None:
-            record.update(trec)
-        else:
-            record["train_error"] = terr
-    else:
-        record.setdefault("train_skipped", "budget")
+    # Combined attempt first: ONE child = one device client = one possible
+    # first-big-load stall amortized over every number (measured 2026-08-21:
+    # a warm pipeline's first program load took 21 min in a stall window,
+    # after which the entire train section ran in 285 s in the same
+    # process). Tagged lines flush per sub-bench, so a timeout or kernel
+    # fault keeps whatever completed; anything missing falls back to the
+    # per-section children below (round-3 fault isolation preserved).
+    # cap covers the measured worst case: 1267 s stalled pipeline + 285 s
+    # train + b16 + graph ≈ 1712 s; tagged-line salvage keeps whatever
+    # finished if even that is exceeded
+    all_cap = float(os.environ.get("RVC_BENCH_ALL_CAP_S", "1800"))
+    if os.environ.get("RVC_BENCH_NO_ALL", "") != "1":
+        arec, aerr = _run_section("all", [], all_cap)
+        if arec:
+            if "full_xrt" in arec:
+                _absorb_pipeline(arec)
+            if "train_steps_per_sec" in arec:
+                have_train = True
+                record.update({k: v for k, v in arec.items()
+                               if k.startswith("train_")})
+            if "graph_xrt" in arec:
+                have_graph = True
+                record["graph_xrt"] = arec["graph_xrt"]
+        if full is None or not have_train:
+            _log(f"combined section incomplete ({aerr}); per-section fallback")
 
-    if full is not None and left() > 90:
-        grec, gerr = _run_section("graph", [], max(120.0, left()))
-        if grec is not None:
-            record.update(grec)
+    if full is None:
+        p1, err = _run_section("pipeline", [], min(hard_cap, 480.0))
+        if p1 is None:
+            # stall windows last minutes; one retry gives the run a second
+            # window, and a still-stalled service fails it quickly enough
+            # to leave budget for the rest
+            _log(f"pipeline attempt failed ({err}); retrying once")
+            p1, err2 = _run_section("pipeline", [], min(hard_cap, 330.0))
+            err = f"{err}; retry: {err2}" if p1 is None else None
+        if p1 is not None:
+            _absorb_pipeline(p1)
+            _log(f"pipeline section done ({left():.0f}s budget left)")
         else:
-            record["graph_error"] = gerr
-    elif full is None:
-        # last-chance headline attempt: stall windows last minutes, and
-        # the train section above just burned a few — the service may have
-        # recovered since the two early attempts
-        full, err3 = _run_section("pipeline", [], min(hard_cap, 330.0))
-        if full is not None:
-            record.pop("pipeline_error", None)
-            record.pop("last_good", None)
-            record.update({k: (round(v, 2) if isinstance(v, float) else v)
-                           for k, v in full.items()
-                           if k not in ("full_xrt", "stream_xrt")})
-            record["latency_xrt"] = round(full["full_xrt"], 2)
+            # honest failure for the headline (value 0, error attached) —
+            # but a pipeline stall must not eat the train/graph numbers
+            # (the inverse of round 3, where section isolation saved the
+            # pipeline numbers from a train-step fault); fall through.
+            record["pipeline_error"] = err
+            try:
+                with open(last_good_path) as f:
+                    record["last_good"] = json.load(f)
+            except Exception:
+                pass
+
+    # train-step throughput is the second north star — run it even deep
+    # over budget; floor of 300 s so a stalled pipeline can't squeeze it
+    # below one honest warm attempt.
+    if not have_train:
+        if os.environ.get("RVC_BENCH_SKIP_TRAIN", "") != "1":
+            t_budget = max(300.0, min(360.0, left() + 120.0))
+            args = ["--b16"] if left() > 60 else []
+            trec, terr = _run_section("train", args, t_budget)
+            if trec is not None:
+                record.update(trec)
+            else:
+                record["train_error"] = terr
+        else:
+            record.setdefault("train_skipped", "budget")
+
+    if not have_graph:
+        if full is not None and left() > 90:
+            grec, gerr = _run_section("graph", [], max(120.0, left()))
+            if grec is not None:
+                record.update(grec)
+            else:
+                record["graph_error"] = gerr
+        elif full is None:
+            # last-chance headline attempt: the sections above just burned
+            # minutes — the service may have recovered since
+            p3, _err3 = _run_section("pipeline", [], min(hard_cap, 330.0))
+            if p3 is not None:
+                _absorb_pipeline(p3)
 
     # headline = sustained throughput of the full conversion path per chip
     # (the serving metric, and stable); single-call latency rides along as
