@@ -469,6 +469,21 @@ class Pipeline:
         B-fold larger matmuls. With enable_batch_sharding, the batch axis
         splits over the dp mesh: N chips convert N rows each program."""
         b = len(audio_segs)
+        audio_out, p_lens = self._dispatch_fused_batch(
+            audio_segs, sid, index_vectors, index_rate, protect, rng,
+            pitch_shift, f0_autotune, f0_autotune_strength, filter_radius,
+        )
+        out = self._to_host(audio_out)
+        return [out[i, : int(p_lens[i]) * self.upp] for i in range(b)]
+
+    def _dispatch_fused_batch(
+        self, audio_segs, sid, index_vectors, index_rate, protect, rng,
+        pitch_shift, f0_autotune, f0_autotune_strength, filter_radius,
+    ):
+        """Pack B segments into one [B_pad, T_pad] row batch and dispatch the
+        fused conversion program (asynchronously — no fetch). Returns the
+        device result and the host-side p_lens row vector."""
+        b = len(audio_segs)
         b_pad = self._batch_rows(b)
         t_reals = [s.shape[0] for s in audio_segs]
         t_pad = self._bucket_len(max(t_reals))
@@ -510,8 +525,77 @@ class Pipeline:
             filter_radius=int(filter_radius),
             f0_frames=t_pad // WINDOW + 1,
         )
-        out = self._to_host(audio_out)
-        return [out[i, : int(p_lens[i]) * self.upp] for i in range(b)]
+        return audio_out, p_lens
+
+    def voice_conversion_fused_batch_stream(
+        self,
+        audio_segs: List[np.ndarray],
+        sid: int,
+        index_vectors: Optional[jax.Array],
+        index_rate: float,
+        protect: float,
+        rng: jax.Array,
+        pitch_shift: int = 0,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        filter_radius: int = 3,
+        batch: int = 4,
+        depth: int = 2,
+        prep=None,
+    ) -> List[np.ndarray]:
+        """Multi-chip serving: group files into batches of `batch` rows, run
+        each group as ONE fused program, and keep `depth` group programs in
+        flight (dispatch-ahead, async D2H — the stream mechanics of
+        voice_conversion_fused_stream on top of the row packing of
+        voice_conversion_fused_many). With enable_batch_sharding the rows of
+        every launch split over the dp mesh: N chips convert N files per
+        program, so a mesh serves batch x stream throughput.
+
+        On ONE chip prefer voice_conversion_fused_stream: the 48k decoder's
+        long-T stages already saturate the chip at B=1, so row batching
+        only adds padding waste (measured on v5e: 141/294/449 ms per fused
+        call at B=1/2/4 — per-file time does NOT improve;
+        docs/PERFORMANCE.md "Batched serving"). Group g's outputs are
+        bit-identical to voice_conversion_fused_many(group_g,
+        rng=split(rng, G)[g]).
+
+        The last group pads up to `batch` rows by replicating row 0 (sliced
+        away on return), so every launch reuses one compiled shape per
+        length bucket. Under a mesh pick `batch` as a multiple of the mesh
+        size — _batch_rows pads every launch up to one anyway."""
+        groups = [audio_segs[i : i + batch]
+                  for i in range(0, len(audio_segs), batch)]
+        subs = list(jax.random.split(rng, max(len(groups), 1)))
+        pending: List[Tuple[jax.Array, np.ndarray, int]] = []
+        outs: List[np.ndarray] = []
+
+        def _drain_one():
+            audio_out, p_lens, b_real = pending.pop(0)
+            out = self._to_host(audio_out)
+            for i in range(b_real):
+                outs.append(out[i, : int(p_lens[i]) * self.upp])
+
+        for g, group in enumerate(groups):
+            if prep is not None:
+                group = [prep(s) for s in group]
+            b_real = len(group)
+            if b_real < batch:  # pad to the compiled row count
+                group = group + [group[0]] * (batch - b_real)
+            audio_out, p_lens = self._dispatch_fused_batch(
+                group, sid, index_vectors, index_rate, protect, subs[g],
+                pitch_shift, f0_autotune, f0_autotune_strength,
+                filter_radius,
+            )
+            try:
+                audio_out.copy_to_host_async()
+            except Exception:
+                pass  # backend without async D2H: drain stays synchronous
+            pending.append((audio_out, p_lens, b_real))
+            if len(pending) > depth:
+                _drain_one()
+        while pending:
+            _drain_one()
+        return outs
 
     def voice_conversion_fused_stream(
         self,

@@ -166,3 +166,44 @@ def test_replicated_cache_invalidates_on_swap(tiny_pipe):
     finally:
         tiny_pipe._mesh = None
         tiny_pipe._repl_cache = {}
+
+
+@pytest.mark.slow
+def test_fused_batch_stream_matches_fused_many(tiny_pipe):
+    """voice_conversion_fused_batch_stream == voice_conversion_fused_many
+    applied per group with the documented rng split, including the padded
+    last group (5 files, batch=2 -> groups of 2/2/1) and prep overlap."""
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
+
+    rmvpe = RMVPE(model=E2EModel(n_blocks=1, en_de_layers=2, inter_layers=1,
+                                 en_out_channels=2, gru_hidden=4))
+    tiny_pipe.set_rmvpe(rmvpe)
+    rng = np.random.default_rng(9)
+    segs = _segments(rng, 5, base=2 * 16000)
+    kw = dict(sid=0, index_vectors=None, index_rate=0.0, protect=0.5,
+              pitch_shift=1, filter_radius=3)
+    key = jax.random.PRNGKey(21)
+
+    def prep(s):
+        return s * 0.9
+
+    try:
+        streamed = tiny_pipe.voice_conversion_fused_batch_stream(
+            segs, batch=2, depth=2, rng=key, prep=prep, **kw)
+        expected = []
+        subs = list(jax.random.split(key, 3))
+        for g in range(3):
+            group = [prep(s) for s in segs[2 * g : 2 * g + 2]]
+            pad = len(group)  # last group: 1 real file
+            if len(group) < 2:  # stream pads to the compiled row count
+                group = group + [group[0]]
+            outs = tiny_pipe.voice_conversion_fused_many(
+                group, rng=subs[g], **kw)
+            expected.extend(outs[:pad])
+    finally:
+        tiny_pipe._rmvpe = None
+
+    assert len(streamed) == len(expected) == 5
+    # identical program + identical inputs per group: bit-exact
+    for a, b in zip(streamed, expected):
+        np.testing.assert_array_equal(a, b)
