@@ -52,8 +52,11 @@ def _abstract_init(init_fn, *args):
     return jax.tree.map(make, shapes)
 
 
-def bench_full_pipeline() -> dict:
-    """10 s conversion through infer.Pipeline with RMVPE + retrieval."""
+def build_bench_pipeline():
+    """Construct the production serving pipeline + 10 s input + kwargs used
+    by the bench (shared with scripts/probe_stream_drain.py so probes and
+    the bench measure the identical configuration). Returns
+    (pipe, audio, kwargs, seconds, t16, tt)."""
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +119,16 @@ def bench_full_pipeline() -> dict:
         protect=0.33, filter_radius=3,
         predictors={"rmvpe": rmvpe.infer_from_audio},
     )
+    return pipe, audio, kwargs, seconds, t16, tt
+
+
+def bench_full_pipeline() -> dict:
+    """10 s conversion through infer.Pipeline with RMVPE + retrieval."""
+    import jax
+    import numpy as np  # noqa: F811 (section children re-import)
+
+    pipe, audio, kwargs, seconds, t16, tt = build_bench_pipeline()
+    index_vectors = kwargs["index_vectors"]
 
     t0 = time.perf_counter()
     out = pipe.pipeline(audio, **kwargs)  # compile warmup

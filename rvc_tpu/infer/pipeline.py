@@ -553,49 +553,56 @@ class Pipeline:
 
         On ONE chip prefer voice_conversion_fused_stream: the 48k decoder's
         long-T stages already saturate the chip at B=1, so row batching
-        only adds padding waste (measured on v5e: 141/294/449 ms per fused
-        call at B=1/2/4 — per-file time does NOT improve;
-        docs/PERFORMANCE.md "Batched serving"). Group g's outputs are
-        bit-identical to voice_conversion_fused_many(group_g,
-        rng=split(rng, G)[g]).
+        does not beat the overlapped single-file stream there (measured on
+        v5e: 141/294/449 ms per fused call at B=1/2/4 — a ~20% per-call
+        win at B=4, but the single-file stream's overlap already exceeds
+        it; docs/PERFORMANCE.md "Batched serving"). A full group's outputs
+        are bit-identical to voice_conversion_fused_many(group_g,
+        rng=split(rng, G)[g]); a partial LAST group is padded to `batch`
+        rows first (row-0 replicas, sliced away on return), so its outputs
+        match fused_many applied to the padded group — batch-shaped noise
+        sampling means they can differ at the last ulp from an unpadded
+        b_real-row call.
 
-        The last group pads up to `batch` rows by replicating row 0 (sliced
-        away on return), so every launch reuses one compiled shape per
-        length bucket. Under a mesh pick `batch` as a multiple of the mesh
-        size — _batch_rows pads every launch up to one anyway."""
+        Under a mesh pick `batch` as a multiple of the mesh size —
+        _batch_rows pads every launch up to one anyway. The result fetch
+        runs on a drain thread (same rationale as
+        voice_conversion_fused_stream: a blocking fetch in the dispatch
+        loop serializes the link round trip with uploads)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         groups = [audio_segs[i : i + batch]
                   for i in range(0, len(audio_segs), batch)]
         subs = list(jax.random.split(rng, max(len(groups), 1)))
-        pending: List[Tuple[jax.Array, np.ndarray, int]] = []
-        outs: List[np.ndarray] = []
 
-        def _drain_one():
-            audio_out, p_lens, b_real = pending.pop(0)
+        def _fetch(audio_out, p_lens, b_real):
             out = self._to_host(audio_out)
-            for i in range(b_real):
-                outs.append(out[i, : int(p_lens[i]) * self.upp])
+            return [out[i, : int(p_lens[i]) * self.upp] for i in range(b_real)]
 
-        for g, group in enumerate(groups):
-            if prep is not None:
-                group = [prep(s) for s in group]
-            b_real = len(group)
-            if b_real < batch:  # pad to the compiled row count
-                group = group + [group[0]] * (batch - b_real)
-            audio_out, p_lens = self._dispatch_fused_batch(
-                group, sid, index_vectors, index_rate, protect, subs[g],
-                pitch_shift, f0_autotune, f0_autotune_strength,
-                filter_radius,
-            )
-            try:
-                audio_out.copy_to_host_async()
-            except Exception:
-                pass  # backend without async D2H: drain stays synchronous
-            pending.append((audio_out, p_lens, b_real))
-            if len(pending) > depth:
-                _drain_one()
-        while pending:
-            _drain_one()
-        return outs
+        futures = []
+        max_inflight = max(int(depth), 2) + 2
+        async_d2h = True
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for g, group in enumerate(groups):
+                if prep is not None:
+                    group = [prep(s) for s in group]
+                b_real = len(group)
+                if b_real < batch:  # pad to the compiled row count
+                    group = group + [group[0]] * (batch - b_real)
+                audio_out, p_lens = self._dispatch_fused_batch(
+                    group, sid, index_vectors, index_rate, protect, subs[g],
+                    pitch_shift, f0_autotune, f0_autotune_strength,
+                    filter_radius,
+                )
+                if async_d2h:
+                    try:
+                        audio_out.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        async_d2h = False  # drain thread still overlaps
+                futures.append(pool.submit(_fetch, audio_out, p_lens, b_real))
+                if g >= max_inflight:
+                    futures[g - max_inflight].result()
+            return [o for f in futures for o in f.result()]
 
     def voice_conversion_fused_stream(
         self,
@@ -612,6 +619,7 @@ class Pipeline:
         depth: int = 2,
         prep=None,
         rngs: Optional[List[jax.Array]] = None,
+        sync_drain: bool = False,
     ) -> List[np.ndarray]:
         """Sustained-stream conversion: keep up to `depth` fused programs in
         flight and fetch results in order. JAX dispatch is asynchronous, so
@@ -625,13 +633,23 @@ class Pipeline:
 
         prep: optional host-DSP callable applied to each raw segment inside
         the dispatch loop, so preprocessing of item i+1 overlaps device
-        compute of item i (pass e.g. high-pass + reflect padding)."""
-        pending: List[Tuple[jax.Array, int]] = []
-        outs: List[np.ndarray] = []
+        compute of item i (pass e.g. high-pass + reflect padding).
 
-        def _drain_one():
-            audio_out, p_len = pending.pop(0)
-            outs.append(self._to_host(audio_out)[0][: p_len * self.upp])
+        The result fetch runs on a drain THREAD: over a remote-attached
+        device the blocking np.asarray pays a full round trip plus the
+        output transfer (~48 ms for a 10 s int16 result on a 33 MB/s
+        tunnel), and paying that serially in the dispatch loop caps the
+        stream at fetch+upload time regardless of device speed (r4's 148x
+        plateau — the link had degraded 20x vs the round-2 measurement,
+        docs/PERFORMANCE.md 'Tunnel stall windows'). With the fetch in a
+        worker thread, the host upload of item i+1 and the result download
+        of item i-1 ride the full-duplex link concurrently while the device
+        computes item i; per-item wall time approaches
+        max(compute, bytes/bandwidth). sync_drain=True restores the r3/r4
+        in-loop blocking fetch — kept for the on-chip A/B
+        (scripts/probe_stream_drain.py) so drain-mode regressions are
+        measurable in one session rather than across tunnel weather."""
+        from concurrent.futures import ThreadPoolExecutor
 
         # Hoist loop-invariant device constants: on a remote-attached
         # accelerator every jnp.asarray is its own host->device message, so
@@ -646,46 +664,69 @@ class Pipeline:
         subs = rngs if rngs is not None else list(
             jax.random.split(rng, len(audio_segs)))
 
-        for i, seg in enumerate(audio_segs):
-            if prep is not None:
-                seg = prep(seg)
-            t_real = seg.shape[0]
-            t_pad = self._bucket_len(t_real)
-            p_len = self._p_len(t_real, t_pad)
-            audio_in = np.zeros(t_pad, np.float32)
-            audio_in[:t_real] = seg
-            audio_out = self._convert_fused(
-                self.synth_params,
-                self.embedder_params,
-                self._rmvpe_params,
-                self._rmvpe_stats,
-                jnp.asarray(self._quantize_in(audio_in)[None]),
-                jnp.asarray([p_len], jnp.int32),
-                sid_d,
-                index_vectors,
-                index_rate_d,
-                protect_d,
-                pitch_shift_d,
-                strength_d,
-                subs[i],
-                use_autotune=bool(f0_autotune),
-                filter_radius=int(filter_radius),
-                f0_frames=t_pad // WINDOW + 1,
-            )
-            # Enqueue the device->host copy at dispatch time: the transfer
-            # starts the moment the program finishes on-device, overlapping
-            # the tunnel round trip with later items' compute instead of
-            # paying it synchronously inside _drain_one's np.asarray.
-            try:
-                audio_out.copy_to_host_async()
-            except Exception:
-                pass  # backend without async D2H: drain stays synchronous
-            pending.append((audio_out, p_len))
-            if len(pending) > depth:
-                _drain_one()
-        while pending:
-            _drain_one()
-        return outs
+        futures = []
+        pending: List[Tuple[jax.Array, int]] = []
+        outs: List[np.ndarray] = []
+        # depth bounds the number of UNFETCHED results in flight (device
+        # buffers + queued transfers); fetch keeps pace with compute, so the
+        # cap only binds when the link stalls.
+        max_inflight = max(int(depth), 2) + 2
+        async_d2h = True  # feature-detected on the first item
+        pool = None if sync_drain else ThreadPoolExecutor(max_workers=1)
+        try:
+            for i, seg in enumerate(audio_segs):
+                if prep is not None:
+                    seg = prep(seg)
+                t_real = seg.shape[0]
+                t_pad = self._bucket_len(t_real)
+                p_len = self._p_len(t_real, t_pad)
+                audio_in = np.zeros(t_pad, np.float32)
+                audio_in[:t_real] = seg
+                audio_out = self._convert_fused(
+                    self.synth_params,
+                    self.embedder_params,
+                    self._rmvpe_params,
+                    self._rmvpe_stats,
+                    jnp.asarray(self._quantize_in(audio_in)[None]),
+                    jnp.asarray([p_len], jnp.int32),
+                    sid_d,
+                    index_vectors,
+                    index_rate_d,
+                    protect_d,
+                    pitch_shift_d,
+                    strength_d,
+                    subs[i],
+                    use_autotune=bool(f0_autotune),
+                    filter_radius=int(filter_radius),
+                    f0_frames=t_pad // WINDOW + 1,
+                )
+                # Enqueue the device->host copy at dispatch time: the
+                # transfer starts the moment the program finishes on-device.
+                if async_d2h:
+                    try:
+                        audio_out.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        async_d2h = False  # drain thread still overlaps
+                if sync_drain:  # r3/r4 behavior: blocking fetch in-loop
+                    pending.append((audio_out, p_len))
+                    if len(pending) > depth:
+                        a, pl = pending.pop(0)
+                        outs.append(self._to_host(a)[0][: pl * self.upp])
+                else:
+                    futures.append(pool.submit(
+                        lambda a, pl: self._to_host(a)[0][: pl * self.upp],
+                        audio_out, p_len))
+                    if i >= max_inflight:
+                        futures[i - max_inflight].result()
+            if sync_drain:
+                while pending:
+                    a, pl = pending.pop(0)
+                    outs.append(self._to_host(a)[0][: pl * self.upp])
+                return outs
+            return [f.result() for f in futures]
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
 
     # -- host-side helpers ---------------------------------------------------
 
@@ -952,59 +993,61 @@ class Pipeline:
         graph and its inputs are unchanged; only the host dispatch order
         differs. This is the windowed >t_max path's fused win (VERDICT r2
         missing #5): the reference converts windows serially with a
-        synchronous fetch each (rvc/infer/pipeline.py:565-680)."""
-        pending: List[Tuple[jax.Array, int]] = []
-        outs: List[np.ndarray] = []
-
-        def _drain_one():
-            audio_out, p_len = pending.pop(0)
-            outs.append(self._to_host(audio_out)[0][: p_len * self.upp])
+        synchronous fetch each (rvc/infer/pipeline.py:565-680). Fetches run
+        on a drain thread (see voice_conversion_fused_stream)."""
+        from concurrent.futures import ThreadPoolExecutor
 
         sid_d = jnp.asarray([sid], jnp.int32)
         index_rate_d = jnp.asarray(index_rate, jnp.float32)
         protect_d = jnp.asarray(protect, jnp.float32)
 
-        for seg, pitch, pitchf, sub in zip(segments, pitches, pitchfs, rngs):
-            t_real = seg.shape[0]
-            t_pad = self._bucket_len(t_real)
-            p_len = self._p_len(t_real, t_pad)
-            audio_in = np.zeros(t_pad, np.float32)
-            audio_in[:t_real] = seg
-            use_pitch = pitch is not None
-            frames_pad = t_pad // WINDOW
-            if use_pitch:
-                pit = np.ones(frames_pad, np.int32)
-                pif = np.zeros(frames_pad, np.float32)
-                n = min(p_len, len(pitch))
-                pit[:n] = pitch[:n]
-                pif[:n] = pitchf[:n]
-            else:
-                pit = np.zeros(frames_pad, np.int32)
-                pif = np.zeros(frames_pad, np.float32)
-            audio_out = self._convert(
-                self.synth_params,
-                self.embedder_params,
-                jnp.asarray(audio_in[None]),
-                jnp.asarray(pit[None]),
-                jnp.asarray(pif[None]),
-                jnp.asarray([p_len], jnp.int32),
-                sid_d,
-                index_vectors,
-                index_rate_d,
-                protect_d,
-                sub,
-                use_pitch=use_pitch,
-            )
-            try:  # start the D2H copy the moment the program finishes
-                audio_out.copy_to_host_async()
-            except Exception:
-                pass
-            pending.append((audio_out, p_len))
-            if len(pending) > depth:
-                _drain_one()
-        while pending:
-            _drain_one()
-        return outs
+        futures = []
+        max_inflight = max(int(depth), 2) + 2
+        async_d2h = True
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for i, (seg, pitch, pitchf, sub) in enumerate(
+                    zip(segments, pitches, pitchfs, rngs)):
+                t_real = seg.shape[0]
+                t_pad = self._bucket_len(t_real)
+                p_len = self._p_len(t_real, t_pad)
+                audio_in = np.zeros(t_pad, np.float32)
+                audio_in[:t_real] = seg
+                use_pitch = pitch is not None
+                frames_pad = t_pad // WINDOW
+                if use_pitch:
+                    pit = np.ones(frames_pad, np.int32)
+                    pif = np.zeros(frames_pad, np.float32)
+                    n = min(p_len, len(pitch))
+                    pit[:n] = pitch[:n]
+                    pif[:n] = pitchf[:n]
+                else:
+                    pit = np.zeros(frames_pad, np.int32)
+                    pif = np.zeros(frames_pad, np.float32)
+                audio_out = self._convert(
+                    self.synth_params,
+                    self.embedder_params,
+                    jnp.asarray(audio_in[None]),
+                    jnp.asarray(pit[None]),
+                    jnp.asarray(pif[None]),
+                    jnp.asarray([p_len], jnp.int32),
+                    sid_d,
+                    index_vectors,
+                    index_rate_d,
+                    protect_d,
+                    sub,
+                    use_pitch=use_pitch,
+                )
+                if async_d2h:
+                    try:  # start the D2H copy when the program finishes
+                        audio_out.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        async_d2h = False  # drain thread still overlaps
+                futures.append(pool.submit(
+                    lambda a, pl: self._to_host(a)[0][: pl * self.upp],
+                    audio_out, p_len))
+                if i >= max_inflight:
+                    futures[i - max_inflight].result()
+            return [f.result() for f in futures]
 
     def pipeline(
         self,

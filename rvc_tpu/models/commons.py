@@ -132,6 +132,54 @@ def spectral_normalize(kernel: jax.Array, n_iters: int = 8) -> jax.Array:
     return kernel / (sigma + 1e-12)
 
 
+def lower_conv1d(
+    x: jax.Array,
+    kernel: jax.Array,
+    stride: int = 1,
+    pad: int = 0,
+    groups: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """Route a 1D conv ([B, T, Cin] x [K, Cin//g, Cout]) to the fastest
+    exact lowering on TPU (no bias). Shared by Conv1d and the
+    discriminators' WNConv2d period convs (kernel width 1 == a 1D conv per
+    period column). The routing heuristics are chip-measured — see the
+    inline notes and docs/PERFORMANCE.md."""
+    in_ch = x.shape[-1]
+    k, _, features = kernel.shape
+    if k == 1 and stride == 1 and groups == 1 and pad == 0:
+        # 1x1 conv — conv_general_dilated lowers this as a degenerate
+        # K=1 convolution fusion with poor tiling (the NSF final-stage
+        # noise conv, 1->C over T_audio, profiled at 5.9 ms/conversion).
+        # A broadcast multiply (in_ch == 1) or a plain matmul keeps it
+        # in well-tiled elementwise/MXU fusions instead.
+        if in_ch == 1:
+            return x * kernel[0, 0, :][None, None, :]
+        return jnp.einsum("bti,io->bto", x, kernel[0])
+    if ((stride > 1 or min(in_ch // groups, features) <= 16)
+            and dilation == 1 and k > 1
+            and in_ch // groups <= 32
+            and x.shape[1] >= 256):
+        # Narrow convs — strided (the MSD's 4-wide groups, the NSF
+        # source downsamplers with 1 input channel) or stride-1 with a
+        # skinny end (generator conv_post 32->1, MSD layer 0 1->16) —
+        # lower to <1% MXU utilization in both forward and gradient
+        # programs; the exact time-fold reformulation runs them as
+        # 128-wide batched matmuls (ops/folded_conv.py).
+        from ..ops.folded_conv import folded_conv1d_strided
+
+        return folded_conv1d_strided(x, kernel, stride, pad, groups)
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=((pad, pad),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+
+
 class Conv1d(nn.Module):
     """1D convolution on [B, T, C] with optional weight normalization.
 
@@ -190,47 +238,8 @@ class Conv1d(nn.Module):
         # Mixed precision: f32 mask multiplies may promote activations; the
         # conv follows the parameter dtype (bf16 under the train policy).
         x = x.astype(kernel.dtype)
-        if k == 1 and self.stride == 1 and self.groups == 1 and pad == 0:
-            # 1x1 conv — conv_general_dilated lowers this as a degenerate
-            # K=1 convolution fusion with poor tiling (the NSF final-stage
-            # noise conv, 1->C over T_audio, profiled at 5.9 ms/conversion).
-            # A broadcast multiply (in_ch == 1) or a plain matmul keeps it
-            # in well-tiled elementwise/MXU fusions instead.
-            if in_ch == 1:
-                y = x * kernel[0, 0, :][None, None, :]
-            else:
-                y = jnp.einsum("bti,io->bto", x, kernel[0])
-            if self.use_bias:
-                bias = self.param("bias", nn.initializers.zeros, (self.features,))
-                y = y + bias
-            return y
-        if ((self.stride > 1
-             or min(in_ch // self.groups, self.features) <= 16)
-                and self.dilation == 1 and k > 1
-                and in_ch // self.groups <= 32
-                and x.shape[1] >= 256):
-            # Narrow convs — strided (the MSD's 4-wide groups, the NSF
-            # source downsamplers with 1 input channel) or stride-1 with a
-            # skinny end (generator conv_post 32->1, MSD layer 0 1->16) —
-            # lower to <1% MXU utilization in both forward and gradient
-            # programs; the exact time-fold reformulation runs them as
-            # 128-wide batched matmuls (ops/folded_conv.py).
-            from ..ops.folded_conv import folded_conv1d_strided
-
-            y = folded_conv1d_strided(x, kernel, self.stride, pad, self.groups)
-            if self.use_bias:
-                bias = self.param("bias", nn.initializers.zeros, (self.features,))
-                y = y + bias
-            return y
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(self.stride,),
-            padding=((pad, pad),),
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
-        )
+        y = lower_conv1d(x, kernel, self.stride, pad, self.groups,
+                         self.dilation)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .commons import Conv1d, leaky_relu, spectral_normalize
+from .commons import Conv1d, leaky_relu, lower_conv1d, spectral_normalize
 
 PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
 
@@ -26,18 +26,30 @@ PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
 # forward-only, but inside the full differentiated train step its backward
 # wedged the TPU at execution (the round-3 `bench_train` kernel fault;
 # bisected on-chip round 4 — Pallas fused-MRF exonerated, this lowering
-# reproduces the hang). MPD runs only in training, so the plain XLA conv
-# below is the production path; history preserves the experiment.
+# reproduces the hang). The round-5 `batch1d` lowering below is NOT that
+# experiment: it reshapes the period axis into batch and reuses the SAME
+# folded-conv/matmul paths (ops/folded_conv.py, commons.lower_conv1d) whose
+# backwards have trained safely on-chip since round 2; gated on the same
+# on-chip smoke (scripts/smoke_train_chip.py) before it became default.
 
 
 class WNConv2d(nn.Module):
-    """Weight-normalized 2D conv on [B, H, W, C] (torch dim-0 norm parity)."""
+    """Weight-normalized 2D conv on [B, H, W, C] (torch dim-0 norm parity).
+
+    lowering (only for kernel width 1, i.e. the DiscriminatorP period
+    convs, which are 1D convs applied independently per period column):
+      - "conv2d": plain XLA NHWC conv (reference-shaped).
+      - "batch1d": fold the W (period) axis into batch and route through
+        commons.lower_conv1d — the strided time-fold matmul reformulation
+        for narrow layers, plain 1D conv for wide ones. Exact same sums.
+    """
 
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
     use_spectral_norm: bool = False  # spectral instead of weight norm
+    lowering: str = "conv2d"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -63,6 +75,33 @@ class WNConv2d(nn.Module):
             kernel = kernel / norm * g
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x = x.astype(kernel.dtype)
+        if kw == 1 and self.strides[1] == 1 and self.padding[1] == 0 \
+                and self.lowering in ("batch1d", "batch1d_fold"):
+            # (kh, 1) conv == a 1D conv per period column: move W into the
+            # batch axis and reuse the 1D lowering zoo. The surrounding
+            # transposes cancel between consecutive layers (leaky_relu is
+            # elementwise, so XLA folds transpose-leaky-transpose pairs);
+            # only the fmap views materialize the [B, H, W, C] layout.
+            b, h, w, _ = x.shape
+            x1 = x.transpose(0, 2, 1, 3).reshape(b * w, h, in_ch)
+            if self.lowering == "batch1d_fold":
+                # force the time-fold matmul for EVERY layer (wide ones
+                # included): fold = smallest multiple of stride with a
+                # >=128-wide contraction, so each layer is D~2 batched
+                # 128x128-tiled dots instead of a conv fusion.
+                from ..ops.folded_conv import folded_conv1d_strided
+
+                s = self.strides[0]
+                fold = max(1, -(-128 // in_ch))
+                fold = -(-fold // s) * s
+                y1 = folded_conv1d_strided(
+                    x1, kernel[:, 0], s, self.padding[0], 1, fold=fold)
+            else:
+                y1 = lower_conv1d(x1, kernel[:, 0], self.strides[0],
+                                  self.padding[0])
+            h_out = y1.shape[1]
+            y = y1.reshape(b, w, h_out, self.features).transpose(0, 2, 1, 3)
+            return y + bias
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -118,6 +157,7 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     use_spectral_norm: bool = False
+    lowering: str = "conv2d"  # see WNConv2d; probed scripts/probe_mpd_lowering.py
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
@@ -139,13 +179,13 @@ class DiscriminatorP(nn.Module):
             x = WNConv2d(
                 f, (self.kernel_size, 1), strides=(self.stride, 1),
                 padding=(pad, 0), use_spectral_norm=self.use_spectral_norm,
-                name=f"conv_{i}",
+                lowering=self.lowering, name=f"conv_{i}",
             )(x)
             x = leaky_relu(x)
             fmap.append(x)
         x = WNConv2d(1, (3, 1), strides=(1, 1), padding=(1, 0),
                      use_spectral_norm=self.use_spectral_norm,
-                     name="conv_post")(x)
+                     lowering=self.lowering, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -181,13 +221,15 @@ def run_discriminators_doubled(discs, inputs, b: int):
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = PERIODS
     use_spectral_norm: bool = False  # reference discriminators.py:23-29
+    lowering: str = "conv2d"  # period-conv lowering, see WNConv2d
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         """y, y_hat: [B, T, 1]. Returns (real_logits, fake_logits, fmaps_r, fmaps_g)."""
         sn = self.use_spectral_norm
         discs = [DiscriminatorS(use_spectral_norm=sn, name="disc_s")] + [
-            DiscriminatorP(p, use_spectral_norm=sn, name=f"disc_p{p}")
+            DiscriminatorP(p, use_spectral_norm=sn, lowering=self.lowering,
+                           name=f"disc_p{p}")
             for p in self.periods
         ]
         return run_discriminators(discs, y, y_hat)

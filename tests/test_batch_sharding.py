@@ -207,3 +207,38 @@ def test_fused_batch_stream_matches_fused_many(tiny_pipe):
     # identical program + identical inputs per group: bit-exact
     for a, b in zip(streamed, expected):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_sharded_fused_batch_stream_matches_unsharded(tiny_pipe):
+    """The pod-serving mode SCALING.md headlines: the batch stream under
+    enable_batch_sharding (rows split over the 8-device dp mesh) must match
+    the unsharded stream row for row — 6 files, batch=4 -> two launches,
+    the second padded 2->4 (and _batch_rows pads each launch up to the mesh
+    multiple of 8)."""
+    from rvc_tpu.predictors.rmvpe import RMVPE, E2EModel
+
+    rmvpe = RMVPE(model=E2EModel(n_blocks=1, en_de_layers=2, inter_layers=1,
+                                 en_out_channels=2, gru_hidden=4))
+    tiny_pipe.set_rmvpe(rmvpe)
+    rng = np.random.default_rng(13)
+    segs = _segments(rng, 6, base=2 * 16000)
+    kw = dict(sid=0, index_vectors=None, index_rate=0.0, protect=0.5,
+              pitch_shift=1, filter_radius=3)
+    key = jax.random.PRNGKey(29)
+    try:
+        plain = tiny_pipe.voice_conversion_fused_batch_stream(
+            segs, batch=4, depth=2, rng=key, **kw)
+        tiny_pipe.enable_batch_sharding()
+        assert tiny_pipe._mesh is not None and tiny_pipe._mesh.size == 8
+        sharded = tiny_pipe.voice_conversion_fused_batch_stream(
+            segs, batch=4, depth=2, rng=key, **kw)
+    finally:
+        tiny_pipe._mesh = None
+        tiny_pipe._repl_cache = {}
+        tiny_pipe._rmvpe = None
+
+    assert [len(x) for x in sharded] == [len(x) for x in plain]
+    # sharded partitioning changes XLA fusion order: fp reassociation only
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
