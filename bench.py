@@ -122,6 +122,42 @@ def build_bench_pipeline():
     return pipe, audio, kwargs, seconds, t16, tt
 
 
+def measure_link() -> dict:
+    """Tunnel weather: tiny-program RTT + D2H bandwidth. The serving stream
+    is transfer-bound whenever bytes/bandwidth exceeds device compute
+    (~1.3 MB/file; round 2 measured ~667 MB/s, round 5 measured 24-33 MB/s
+    on the same code), so the bench records the link state next to every
+    headline — a 149x and a 195x night differ here, not in the code."""
+    import jax
+    import jax.numpy as jnp
+
+    rec = {}
+    try:
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((8,), jnp.float32)
+        np.asarray(f(x))
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            ts.append(time.perf_counter() - t0)
+        rec["link_rtt_ms"] = round(sorted(ts)[3] * 1e3, 1)
+        a = np.zeros(1024 * 1024, np.float32)  # 4 MB
+        d = jax.block_until_ready(jnp.asarray(a))
+        g = jax.jit(lambda x: x * 2)
+        np.asarray(g(d))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(g(d))
+            ts.append(time.perf_counter() - t0)
+        dt = sorted(ts)[1] - min(rec["link_rtt_ms"] / 1e3, sorted(ts)[1] / 2)
+        rec["link_d2h_mbps"] = round(4.0 / max(dt, 1e-4), 0)
+    except Exception:
+        pass  # weather is context, never a failure
+    return rec
+
+
 def bench_full_pipeline() -> dict:
     """10 s conversion through infer.Pipeline with RMVPE + retrieval."""
     import jax
@@ -146,6 +182,10 @@ def bench_full_pipeline() -> dict:
     _log(f"pipeline steady {elapsed:.2f}s per 10s conversion "
          f"(median of {len(times)}; spread {min(times):.2f}-{max(times):.2f})")
     record = {"full_xrt": seconds / elapsed, "out_len": int(len(out))}
+    record.update(measure_link())
+    if "link_rtt_ms" in record:
+        _log(f"link weather: rtt {record['link_rtt_ms']} ms, "
+             f"d2h {record.get('link_d2h_mbps', '?')} MB/s")
 
     # Serving throughput: a sustained stream of files with dispatch-ahead
     # (depth 2). The latency number above pays a full host<->device round
@@ -202,6 +242,7 @@ def bench_full_pipeline() -> dict:
             dts.append((time.perf_counter() - t0) / K)
         dt = sorted(dts)[1]
         record["stream_xrt"] = seconds / dt
+        record["stream_ms_per_file"] = round(dt * 1e3, 1)
         record["stream_batches_xrt"] = [round(seconds / d, 1) for d in dts]
         _log(f"sustained stream {dt:.3f}s per 10s conversion "
              f"(K={K}, median of 3 batches {min(dts):.3f}-{max(dts):.3f})")
@@ -321,10 +362,26 @@ def bench_train(batch_size: int = 8, frames: int = 400) -> dict:
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
     np.asarray(metrics["loss_disc"])  # steps chain through state: full sync
     dt = (time.perf_counter() - t0) / n_steps
-    return {
+    rec = {
         "train_steps_per_sec": 1.0 / dt,
         "train_audio_sec_per_sec": B * cfg.train.segment_size / 48000 / dt,
+        "train_ms_per_step": dt * 1e3,
     }
+    # MFU: XLA's own FLOP count for the fused step over the v5e bf16 paper
+    # peak (197 TFLOP/s) — the cross-round comparable the wall numbers
+    # aren't (VERDICT r4 #3). Demonstrated-matmul MFU (96.5 TFLOP/s
+    # sustained on a 4096^3 bf16 matmul) is ~2x this figure.
+    try:
+        compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            rec["train_mfu_pct"] = flops / dt / 197e12 * 100.0
+    except Exception:
+        pass  # cost analysis is metadata; never sink the train number
+    return rec
 
 
 def _pipeline_section() -> None:

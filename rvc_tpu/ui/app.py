@@ -25,11 +25,15 @@ def _require_gradio():
         import gradio as gr
 
         return gr
-    except ImportError as e:
-        raise RuntimeError(
-            "the web UI needs the `gradio` package; install it or use the "
-            "CLI (`python -m rvc_tpu.cli --help`)"
-        ) from e
+    except ImportError:
+        # No wheel in this environment: fall back to the vendored stdlib
+        # renderer so the UI still launches as a real web app (same Blocks
+        # surface; see gradio_lite docstring for scope).
+        from . import gradio_lite as gr
+
+        print("[ui] gradio wheel not found - using the vendored "
+              "gradio_lite renderer")
+        return gr
 
 
 def build_app():

@@ -90,11 +90,17 @@ def main(n_pairs=3):
         protect=0.33, pitch_shift=2, filter_radius=3,
     )
 
+    # pipeline() warmup wires set_rmvpe + compiles the fused graph (same
+    # order as bench_full_pipeline)
+    t0 = time.perf_counter()
+    out = pipe.pipeline(audio, **kwargs)
+    print(f"[warmup pipeline] {time.perf_counter()-t0:.1f}s", flush=True)
+    assert np.isfinite(out).all()
     # warmup: full-size batch (compiles the program, grows the allocator)
     t0 = time.perf_counter()
     outs = pipe.voice_conversion_fused_stream(
         raw, rng=jax.random.PRNGKey(3), prep=_prep, **vc_kwargs)
-    print(f"[warmup] {time.perf_counter()-t0:.1f}s", flush=True)
+    print(f"[warmup stream] {time.perf_counter()-t0:.1f}s", flush=True)
     assert all(np.isfinite(o).all() for o in outs)
 
     results = {"sync": [], "thread": []}
