@@ -341,7 +341,11 @@ def _enable_compile_cache() -> None:
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even sub-second programs: a cold serving start dispatches
+        # ~190 tiny helper compiles whose round trips to the remote compile
+        # service cost ~160 s in aggregate (docs/PERFORMANCE.md "small-jit
+        # compile flood"); caching them cut bench warmup 180 s -> 36 s
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

@@ -342,8 +342,24 @@ class Trainer:
             if jax.process_index() != 0:
                 return  # only host 0 writes the portable .npz artifacts
         suffix = 2333333 if self.args.save_only_latest else epoch
-        meta = {"epoch": epoch, "sample_rate": self.cfg.data.sample_rate,
-                "vocoder": self.cfg.model.vocoder}
+        m, d = self.cfg.model, self.cfg.data
+        meta = {"epoch": epoch, "sample_rate": d.sample_rate,
+                "vocoder": self.cfg.model.vocoder,
+                # 18-element deployable config list (reference
+                # extract_model.py embeds it in every export;
+                # derive_synth_arch consumes it) so checkpoints stay
+                # loadable even when the architecture differs from the
+                # sample-rate preset
+                "config": [
+                    d.filter_length // 2 + 1, 32,
+                    m.inter_channels, m.hidden_channels, m.filter_channels,
+                    m.n_heads, m.n_layers, m.kernel_size, m.p_dropout, 1,
+                    list(m.resblock_kernel_sizes),
+                    [list(t) for t in m.resblock_dilation_sizes],
+                    list(m.upsample_rates), m.upsample_initial_channel,
+                    list(m.upsample_kernel_sizes), m.spk_embed_dim,
+                    m.gin_channels, d.sample_rate,
+                ]}
         g_tree = {"model": self.state.params_g,
                   "optimizer": _opt_state_arrays(self.state.opt_g)}
         if self.state.balancer is not None:
